@@ -1,0 +1,164 @@
+"""Host-side batch loader: decode -> stage -> prefetch to device.
+
+Replaces the reference's torch DataLoader worker processes
+(reference libs/load.py:280-305). Decoding and canvas staging run on a
+thread pool (optionally backed by the native C++ JPEG decoder,
+hgr_tpu.data.native); batches are assembled into pinned numpy buffers
+and a small prefetch queue keeps the accelerator fed while the device
+does ALL augmentation/warping (hgr_tpu.data.pipeline).
+
+Static-shape guarantees for jit: every batch has exactly ``batch_size``
+samples (train: drop-last; eval: pad with repeats and report ``valid``
+counts so epoch metrics exclude padding).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from hgr_tpu.data.dataset import AnnotationIndex
+
+
+def _decode_image(path: str) -> np.ndarray:
+    """Decode to BGR uint8 (cv2 order — the reference trains on BGR,
+    libs/load.py:54; we preserve that)."""
+    try:
+        from hgr_tpu.data.native import decode_jpeg_bgr
+
+        img = decode_jpeg_bgr(path)
+        if img is not None:
+            return img
+    except Exception:
+        pass
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError(f"Fail to read {path}")
+        return img
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))[..., ::-1]
+
+
+class BatchLoader:
+    """Iterable of staged numpy batches in the device pipeline's format."""
+
+    def __init__(
+        self,
+        index: AnnotationIndex,
+        batch_size: int,
+        canvas_size: int = 256,
+        num_joints: int = 21,
+        shuffle: bool = False,
+        seed: int = 42,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 2,
+    ):
+        self.index = index
+        self.batch_size = batch_size
+        self.canvas_size = canvas_size
+        self.num_joints = num_joints
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._epoch = 0
+        self._labels = index.labels()
+
+    def __len__(self) -> int:
+        n = len(self.index)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _load_one(self, i: int):
+        from hgr_tpu.data.pipeline import stage_image
+
+        s = self.index.samples[i]
+        img = _decode_image(s.image_path)
+        canvas, affine, (h, w) = stage_image(img, self.canvas_size)
+        lm = np.asarray(s.landmark, np.float32).reshape(-1, 2)
+        joints = np.zeros((self.num_joints, 2), np.float32)
+        vis = np.zeros((self.num_joints,), np.float32)
+        if lm.shape[0]:
+            # denormalize (reference libs/load.py:66-67)
+            joints[: lm.shape[0], 0] = lm[:, 0] * w
+            joints[: lm.shape[0], 1] = lm[:, 1] * h
+            vis[: lm.shape[0]] = 1.0
+        return canvas, affine, (h, w), joints, vis, self._labels[i]
+
+    def _assemble(self, ids: np.ndarray, valid: int) -> Dict[str, np.ndarray]:
+        bs = self.batch_size
+        cs = self.canvas_size
+        batch = {
+            "canvas": np.zeros((bs, cs, cs, 3), np.uint8),
+            "orig_to_canvas": np.zeros((bs, 2, 3), np.float32),
+            "sizes_hw": np.zeros((bs, 2), np.float32),
+            "joints": np.zeros((bs, self.num_joints, 2), np.float32),
+            "joints_vis": np.zeros((bs, self.num_joints), np.float32),
+            "label": np.zeros((bs,), np.int32),
+        }
+        if self.num_workers > 1:
+            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
+                results = list(ex.map(self._load_one, ids))
+        else:
+            results = [self._load_one(i) for i in ids]
+        for k, (canvas, affine, (h, w), joints, vis, label) in enumerate(
+                results):
+            batch["canvas"][k] = canvas
+            batch["orig_to_canvas"][k] = affine
+            batch["sizes_hw"][k] = (h, w)
+            batch["joints"][k] = joints
+            batch["joints_vis"][k] = vis
+            batch["label"][k] = label
+        batch["valid"] = np.int32(valid)
+        return batch
+
+    def _batch_ids(self) -> Iterator[np.ndarray]:
+        n = len(self.index)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            ids = order[start:start + bs]
+            if len(ids) < bs:
+                if self.drop_last:
+                    return
+                pad = np.resize(ids, bs)  # repeat to pad; 'valid' masks them
+                yield pad, len(ids)
+                return
+            yield ids, bs
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate with background prefetch of ``prefetch`` batches."""
+        work: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for ids, valid in self._batch_ids():
+                    work.put(self._assemble(ids, valid))
+            finally:
+                work.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = work.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,126 @@
+"""Building-block layers: Conv+BN+SiLU, ResNet basic/bottleneck blocks.
+
+TPU-first re-design of the reference's torch modules
+(reference model/gelan.py:18-121). Differences from a literal translation:
+  * NHWC layout end-to-end (TPU conv layout; torch uses NCHW).
+  * Explicit symmetric padding replicating torch's ``autopad``
+    (reference model/gelan.py:5-14) — flax's 'SAME' pads asymmetrically
+    for stride 2, which would break weight-port parity.
+  * Configurable compute dtype (bfloat16 on TPU) with float32 params and
+    float32 BatchNorm statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Dtype = Any
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same'-shape padding for odd kernels (reference model/gelan.py:5-14)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    if p is None:
+        p = k // 2
+    return p
+
+
+class ConvBnAct(nn.Module):
+    """conv(bias=False) + BatchNorm + activation
+    (reference model/gelan.py:18-56 ``Conv``; default act SiLU)."""
+
+    features: int
+    kernel_size: int = 1
+    strides: int = 1
+    padding: Optional[int] = None
+    groups: int = 1
+    dilation: int = 1
+    use_act: bool = True
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        p = autopad(self.kernel_size, self.padding, self.dilation)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.groups,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            precision=self.precision,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch default 0.1 <=> flax momentum 0.9
+            epsilon=1e-5,
+            dtype=jnp.float32,  # keep statistics in f32 even under bf16
+            name="bn",
+        )(x)
+        if self.use_act:
+            x = nn.silu(x)
+        return x.astype(self.dtype)
+
+
+class ResBasicBlock(nn.Module):
+    """ResNet basic block (reference model/gelan.py:59-87): two 3x3
+    Conv-BN blocks, SiLU between, residual add, trailing SiLU."""
+
+    features: int
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c1 = x.shape[-1]
+        y = ConvBnAct(self.features, 3, 1, dtype=self.dtype,
+                      precision=self.precision, name="cv1")(x, train)
+        y = ConvBnAct(self.features, 3, 1, use_act=False, dtype=self.dtype,
+                      precision=self.precision, name="cv2")(y, train)
+        if self.shortcut:
+            residual = x
+            if c1 != self.features:
+                residual = ConvBnAct(
+                    self.features, 1, 1, use_act=False, dtype=self.dtype,
+                    precision=self.precision, name="downsample")(x, train)
+            y = residual + y
+        return nn.silu(y).astype(self.dtype)
+
+
+class ResBottleneck(nn.Module):
+    """ResNet bottleneck (reference model/gelan.py:90-121). Defined for
+    parity with the reference inventory; unused by GELAN 'small'/'large'
+    specs (SURVEY.md §2a row 4)."""
+
+    features: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c1 = x.shape[-1]
+        c_ = int(self.features * self.expansion)
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype,
+                      precision=self.precision, name="cv1")(x, train)
+        y = ConvBnAct(c_, 3, 1, dtype=self.dtype,
+                      precision=self.precision, name="cv2")(y, train)
+        y = ConvBnAct(self.features, 1, 1, use_act=False, dtype=self.dtype,
+                      precision=self.precision, name="cv3")(y, train)
+        # Reference: residual only when c1 == features (gelan.py:105).
+        if self.shortcut and c1 == self.features:
+            y = x + y
+        return nn.silu(y).astype(self.dtype)

@@ -1,0 +1,95 @@
+"""MultiTaskNet — GELAN encoder -> 1x1 projection -> ViT decoder.
+
+Capability parity with reference model/multitasknet.py:8-29. NHWC,
+configurable compute dtype/precision, optional Pallas attention.
+
+Forward: images (B, H, W, 3) ->
+  cls_out  (B, num_classes)
+  hmap_out (B, H/4, W/4, num_joints)   [NHWC; use ``heatmaps_to_nchw``]
+  attnmap  (B, heads, N, N) with N = (H/16)*(W/16) + 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hgr_tpu.config import ModelConfig
+from hgr_tpu.models.gelan import GELANNet
+from hgr_tpu.models.vit import ViT
+
+Array = jax.Array
+Dtype = Any
+
+
+class MultiTaskNet(nn.Module):
+    """Reference model/multitasknet.py:8-29, TPU-native."""
+
+    num_joints: int = 21
+    num_classes: int = 19
+    image_size: Tuple[int, int] = (192, 192)  # (H, W)
+    backbone: str = "small"
+    dim: int = 256
+    depth: int = 4
+    heads: int = 8
+    head_dim: int = 32
+    mlp_dim: int = 256
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+    use_pallas: bool = False
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig) -> "MultiTaskNet":
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        return cls(
+            num_joints=cfg.num_joints,
+            num_classes=cfg.num_classes,
+            image_size=cfg.image_size,
+            backbone=cfg.backbone,
+            dim=cfg.dim,
+            depth=cfg.depth,
+            heads=cfg.heads,
+            head_dim=cfg.head_dim,
+            mlp_dim=cfg.mlp_dim,
+            dtype=dtype,
+            use_pallas=cfg.use_pallas_attention,
+        )
+
+    @nn.compact
+    def __call__(
+        self, x: Array, train: bool = False
+    ) -> Tuple[Array, Array, Array]:
+        x = x.astype(self.dtype)
+        feats = GELANNet(self.backbone, dtype=self.dtype,
+                         precision=self.precision, name="encoder")(x, train)
+        feats = nn.Conv(self.dim, kernel_size=(1, 1), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        precision=self.precision, name="proj")(feats)
+        h, w = self.image_size[0] // 16, self.image_size[1] // 16
+        cls_out, hmap_out, attnmap = ViT(
+            num_classes=self.num_classes,
+            num_joints=self.num_joints,
+            feature_size=(h, w),
+            dim=self.dim,
+            depth=self.depth,
+            heads=self.heads,
+            head_dim=self.head_dim,
+            mlp_dim=self.mlp_dim,
+            dtype=self.dtype,
+            precision=self.precision,
+            use_pallas=self.use_pallas,
+            name="decoder")(feats)
+        return cls_out, hmap_out, attnmap
+
+
+def heatmaps_to_nchw(hmap_nhwc: Array) -> Array:
+    """(B, H, W, J) -> (B, J, H, W) for reference-layout consumers."""
+    return jnp.transpose(hmap_nhwc, (0, 3, 1, 2))
+
+
+def images_to_nhwc(img_nchw: Array) -> Array:
+    """(B, 3, H, W) -> (B, H, W, 3)."""
+    return jnp.transpose(img_nchw, (0, 2, 3, 1))

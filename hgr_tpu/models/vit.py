@@ -1,0 +1,196 @@
+"""ViT decoder — cls-token transformer + simple pose decoder, Flax/NHWC.
+
+Capability parity with reference model/transformer.py:29-152:
+  * fixed (non-learned) 2D sin-cos positional embedding added to patch
+    tokens BEFORE the cls token is prepended (transformer.py:129-139);
+  * pre-LN attention (qkv and out-proj without bias) returning the
+    last layer's post-softmax attention map (transformer.py:45-96);
+  * pre-LN MLP with exact (erf) GELU (transformer.py:29-41 — torch
+    nn.GELU default is the erf form, NOT the tanh approximation);
+  * cls head = LayerNorm + Linear (transformer.py:113-116);
+  * pose decoder = align-corners bilinear x4 upsample -> ReLU -> 1x1 conv
+    (transformer.py:118-127,146-150).
+
+TPU design notes: attention runs over 145 tokens x 256 dim — tiny — so
+the whole block is one fused XLA region; softmax and LayerNorm statistics
+are computed in float32 even when compute dtype is bfloat16. An optional
+fused Pallas attention kernel can be swapped in via ``use_pallas``
+(hgr_tpu.ops.attention_pallas), benchmarked against the XLA path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hgr_tpu.ops.posemb import pos_emb_sincos_2d
+from hgr_tpu.ops.resize import upsample_bilinear_align_corners
+
+Array = jax.Array
+Dtype = Any
+
+
+class FeedForward(nn.Module):
+    """Pre-LN MLP (reference model/transformer.py:29-41)."""
+
+    dim: int
+    hidden_dim: int
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, precision=self.precision,
+                     name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     precision=self.precision, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Pre-LN multi-head attention returning the attention map
+    (reference model/transformer.py:45-77)."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array]:
+        b, n, _ = x.shape
+        inner = self.heads * self.head_dim
+        scale = self.head_dim**-0.5
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32, precision=self.precision,
+                       name="to_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(t: Array) -> Array:
+            return t.reshape(b, n, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+
+        if self.use_pallas:
+            from hgr_tpu.ops.attention_pallas import fused_attention
+
+            out, attn = fused_attention(q, k, v, scale)
+        else:
+            dots = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, precision=self.precision
+            ).astype(jnp.float32) * scale
+            attn = jax.nn.softmax(dots, axis=-1)
+            out = jnp.einsum(
+                "bhij,bhjd->bhid", attn.astype(self.dtype), v,
+                precision=self.precision,
+            )
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        # project_out is always true for the reference config
+        # (heads=8, head_dim=32, dim=256 -> transformer.py:50-63).
+        out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32, precision=self.precision,
+                       name="to_out")(out)
+        return out, attn
+
+
+class Transformer(nn.Module):
+    """Stack of depth x (attention + MLP) with residuals; returns the
+    last layer's attention map (reference model/transformer.py:80-96)."""
+
+    dim: int
+    depth: int
+    heads: int
+    head_dim: int
+    mlp_dim: int
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array]:
+        attnmap = None
+        for i in range(self.depth):
+            message, attnmap = Attention(
+                self.dim, self.heads, self.head_dim, dtype=self.dtype,
+                precision=self.precision, use_pallas=self.use_pallas,
+                name=f"layers_{i}_attn")(x)
+            x = message + x
+            x = FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
+                            precision=self.precision,
+                            name=f"layers_{i}_ff")(x) + x
+        return x, attnmap
+
+
+class ViT(nn.Module):
+    """ViT decoder head (reference model/transformer.py:99-152).
+
+    Input: (B, h, w, dim) projected backbone features (NHWC).
+    Output: (cls_out (B, num_classes),
+             hmap_out (B, 4h, 4w, num_joints)  [NHWC],
+             attnmap (B, heads, 1+h*w, 1+h*w)).
+    """
+
+    num_classes: int
+    num_joints: int
+    feature_size: Tuple[int, int]  # (h, w)
+    dim: int
+    depth: int
+    heads: int
+    head_dim: int
+    mlp_dim: int
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
+        b, h, w, c = x.shape
+        assert (h, w) == tuple(self.feature_size)
+
+        tokens = x.reshape(b, h * w, c)
+        pe = jnp.asarray(pos_emb_sincos_2d(h, w, self.dim))
+        tokens = tokens + pe.astype(tokens.dtype)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, self.dim),
+            jnp.float32)
+        cls_tokens = jnp.broadcast_to(
+            cls_token.astype(tokens.dtype), (b, 1, self.dim))
+        tokens = jnp.concatenate([cls_tokens, tokens], axis=1)
+
+        tokens, attnmap = Transformer(
+            self.dim, self.depth, self.heads, self.head_dim, self.mlp_dim,
+            dtype=self.dtype, precision=self.precision,
+            use_pallas=self.use_pallas, name="transformer")(tokens)
+
+        cls_feat = tokens[:, 0]
+        hmap_feat = tokens[:, 1:]
+
+        cls_out = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, name="mlp_head_norm")(cls_feat)
+        cls_out = nn.Dense(
+            self.num_classes, dtype=jnp.float32, param_dtype=jnp.float32,
+            precision=self.precision, name="mlp_head_fc")(cls_out)
+
+        hmap = hmap_feat.reshape(b, h, w, self.dim)
+        # align_corners=True x4 bilinear as two MXU matmuls (ops/resize.py),
+        # then ReLU -> 1x1 conv (reference transformer.py:146-150).
+        hmap = upsample_bilinear_align_corners(hmap, 4)
+        hmap = nn.relu(hmap)
+        hmap_out = nn.Conv(
+            self.num_joints, kernel_size=(1, 1), use_bias=True,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+            precision=self.precision, name="simple_decoder_conv")(hmap)
+
+        return cls_out, hmap_out, attnmap

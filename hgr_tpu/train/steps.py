@@ -1,0 +1,158 @@
+"""Jitted train/eval steps with fused device-side augmentation + metrics.
+
+One compiled graph does what the reference splits across CPU workers,
+the GPU forward, and per-step host syncs (reference train.py:58-107):
+augment -> forward -> joint loss -> backward -> AdamW update -> on-device
+F1/PCK/confusion accumulation. Only scalar metrics leave the device.
+
+Loss semantics: total = 0.001 * CE + JointsMSE (reference train.py:63-64).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hgr_tpu.config import AugmentConfig
+from hgr_tpu.data.pipeline import (
+    apply_augment_batch,
+    draw_augment_params,
+    identity_params,
+)
+from hgr_tpu.ops.losses import multitask_loss
+from hgr_tpu.ops.metrics import batch_macro_f1, confusion_update, pck_accuracy
+from hgr_tpu.models.multitasknet import heatmaps_to_nchw
+from hgr_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def _preprocess(batch: Dict[str, Array], key: Optional[Array],
+                aug_cfg: Optional[AugmentConfig], sigma: float,
+                image_size, heatmap_size) -> Dict[str, Array]:
+    """Raw host batch -> model-ready tensors, fully on device."""
+    b = batch["canvas"].shape[0]
+    if key is not None and aug_cfg is not None:
+        params = draw_augment_params(key, b, batch["sizes_hw"], aug_cfg)
+    else:
+        params = identity_params(b)
+    out = apply_augment_batch(
+        batch["canvas"], batch["orig_to_canvas"], batch["sizes_hw"],
+        batch["joints"], batch["joints_vis"], params,
+        image_size=image_size, heatmap_size=heatmap_size, sigma=sigma)
+    out["label"] = batch["label"]
+    return out
+
+
+def _forward_and_metrics(apply_fn, params, batch_stats, data, num_classes,
+                         train: bool):
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        (cls_out, hmap, attn), mutated = apply_fn(
+            variables, data["image"], train=True, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        cls_out, hmap, attn = apply_fn(variables, data["image"], train=False)
+        new_stats = batch_stats
+
+    hmap_nchw = heatmaps_to_nchw(hmap)
+    total, parts = multitask_loss(
+        cls_out, hmap_nchw, data["label"], data["target"],
+        data["target_weight"])
+    return total, (parts, cls_out, hmap_nchw, attn, new_stats)
+
+
+def make_train_step(
+    aug_cfg: AugmentConfig,
+    num_classes: int = 19,
+    sigma: float = 2.0,
+    image_size=(192, 192),
+    heatmap_size=(48, 48),
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    step(state, batch, key) -> (state, metrics) where batch is the raw
+    staged host batch {canvas, orig_to_canvas, sizes_hw, joints,
+    joints_vis, label}.
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, Array], key: Array):
+        data = _preprocess(batch, key, aug_cfg, sigma, image_size,
+                           heatmap_size)
+
+        def loss_fn(params):
+            return _forward_and_metrics(
+                state.apply_fn, params, state.batch_stats, data,
+                num_classes, train=True)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, (parts, cls_out, hmap, attn, new_stats)), grads = grad_fn(
+            state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+
+        pred_label = jnp.argmax(cls_out, axis=-1)
+        f1 = batch_macro_f1(data["label"], pred_label, num_classes)
+        _, avg_acc, cnt, _ = pck_accuracy(hmap, data["target"])
+        metrics = {
+            **{k: v for k, v in parts.items()},
+            "cls_f1score": f1,
+            "pose_acc": avg_acc,
+            "pose_cnt": cnt,
+            "conf_update": confusion_update(
+                jnp.zeros((num_classes, num_classes)), data["label"],
+                pred_label),
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    num_classes: int = 19,
+    sigma: float = 2.0,
+    image_size=(192, 192),
+    heatmap_size=(48, 48),
+    return_outputs: bool = False,
+) -> Callable:
+    """Build the jitted eval step: same forward, no augment, no update.
+
+    eval_step(state, batch) -> metrics (plus raw outputs when
+    ``return_outputs`` — used by the debug-image dumper).
+    """
+
+    def eval_step(state: TrainState, batch: Dict[str, Array]):
+        data = _preprocess(batch, None, None, sigma, image_size,
+                           heatmap_size)
+        total, (parts, cls_out, hmap, attn, _) = _forward_and_metrics(
+            state.apply_fn, state.params, state.batch_stats, data,
+            num_classes, train=False)
+        pred_label = jnp.argmax(cls_out, axis=-1)
+        f1 = batch_macro_f1(data["label"], pred_label, num_classes)
+        _, avg_acc, cnt, _ = pck_accuracy(hmap, data["target"])
+        metrics = {
+            **{k: v for k, v in parts.items()},
+            "cls_f1score": f1,
+            "pose_acc": avg_acc,
+            "pose_cnt": cnt,
+            "conf_update": confusion_update(
+                jnp.zeros((num_classes, num_classes)), data["label"],
+                pred_label),
+        }
+        if return_outputs:
+            return metrics, {
+                "image": data["image"],
+                "target": data["target"],
+                "target_weight": data["target_weight"],
+                "joints": data["joints"],
+                "label": data["label"],
+                "pred_label": pred_label,
+                "heatmap": hmap,
+                "attnmap": attn,
+            }
+        return metrics
+
+    return jax.jit(eval_step)

@@ -1,0 +1,148 @@
+"""Model tests: output shapes, parameter count, and numerical weight-port
+parity against the torch reference (imported read-only from
+/root/reference — skipped when unavailable).
+
+Pinned facts from SURVEY.md §6 [measured]:
+  * total params 7,409,000 (encoder 5,687,872 + proj 131,072 + ViT 1,590,056)
+  * outputs: cls [B,19], heatmap [B,21,48,48], attn [B,8,145,145]
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hgr_tpu.models import MultiTaskNet
+from hgr_tpu.models.multitasknet import heatmaps_to_nchw
+from hgr_tpu.utils.torch_port import port_multitasknet
+
+REFERENCE_DIR = "/root/reference"
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _init_model(**kw):
+    model = MultiTaskNet(precision=HI, **kw)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 3)), train=False)
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    return _init_model()
+
+
+def test_output_shapes(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 192, 192, 3),
+                    jnp.float32)
+    cls_out, hmap, attn = model.apply(variables, x, train=False)
+    assert cls_out.shape == (2, 19)
+    assert hmap.shape == (2, 48, 48, 21)
+    assert heatmaps_to_nchw(hmap).shape == (2, 21, 48, 48)
+    assert attn.shape == (2, 8, 145, 145)
+    # attention rows are a softmax distribution
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(attn, axis=-1)), 1.0, atol=1e-4)
+
+
+def test_param_count(model_and_vars):
+    _, variables = model_and_vars
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    n_stats = sum(x.size for x in jax.tree.leaves(variables["batch_stats"]))
+    # torch counts BN running stats separately from parameters; the
+    # reference's 7,409,000 [measured] covers trainable params only.
+    assert n_params == 7_409_000, n_params
+    # every BN layer carries mean+var
+    assert n_stats > 0
+
+
+def test_train_mode_updates_batch_stats(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 192, 192, 3),
+                    jnp.float32)
+    (out, new_vars) = model.apply(
+        variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(new_vars["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after))
+    assert changed
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DIR),
+                    reason="reference repo not mounted")
+def test_weight_port_parity():
+    """Port reference weights -> identical outputs (tolerance ~1e-4 fp32)."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        from model.multitasknet import MultiTaskNet as TorchNet
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+
+    torch.manual_seed(0)
+    tnet = TorchNet(21, 19, [192, 192]).eval()
+    # randomize BN running stats so parity exercises them
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    variables = port_multitasknet(tnet.state_dict())
+    model = MultiTaskNet(precision=HI)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 192, 192).astype(np.float32)
+    with torch.no_grad():
+        t_cls, t_hmap, t_attn = tnet(torch.as_tensor(x))
+
+    j_cls, j_hmap, j_attn = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(j_cls), t_cls.numpy(), rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(heatmaps_to_nchw(j_hmap)), t_hmap.numpy(),
+        rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(j_attn), t_attn.numpy(), rtol=1e-3, atol=2e-4)
+
+
+def test_gelan_feature_shape():
+    from hgr_tpu.models import GELANNet
+
+    net = GELANNet("small", precision=HI)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 3)))
+    out = net.apply(variables, jnp.zeros((2, 192, 192, 3)))
+    assert out.shape == (2, 12, 12, 512)
+
+
+def test_gelan_large_builds():
+    from hgr_tpu.models import GELANNet
+
+    net = GELANNet("large", precision=HI)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out = net.apply(variables, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 4, 4, 512)
+
+
+def test_bfloat16_forward(model_and_vars):
+    """bf16 compute path stays numerically sane and returns f32 heads."""
+    _, variables = model_and_vars
+    model_bf16 = MultiTaskNet(dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 192, 192, 3),
+                    jnp.float32)
+    cls_out, hmap, attn = model_bf16.apply(variables, x, train=False)
+    assert cls_out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(cls_out, np.float32)).all()
+    assert np.isfinite(np.asarray(hmap, np.float32)).all()
