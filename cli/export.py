@@ -1,0 +1,73 @@
+"""Export CLI — flag surface mirrors the reference (export.py:49-57):
+convert a checkpoint to a deployable artifact, then re-evaluate the test
+set through the DESERIALIZED artifact (macro F1 + mean latency).
+
+Example:
+  python cli/export.py --data_config configs/hagrid.yaml \
+      --weight_path output/run/weight/best --out model.stablehlo
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--data_config', type=str, required=True)
+    parser.add_argument('--image_size', nargs='+', type=int,
+                        default=[192, 192])
+    parser.add_argument('--weight_path', type=str, required=True,
+                        help='orbax ckpt dir, .npz, or reference .ckpt')
+    parser.add_argument('--out', type=str, default='',
+                        help='output artifact path (default: '
+                             '<weight_path>.stablehlo)')
+    parser.add_argument('--batch', type=int, default=1)
+    parser.add_argument('--skip_eval', action='store_true')
+    parser.add_argument('--canvas_size', type=int, default=256)
+    args = parser.parse_args()
+
+    from hgr_tpu.config import load_data_config
+    from hgr_tpu.data.dataset import read_annotations
+    from hgr_tpu.data.loader import BatchLoader
+    from hgr_tpu.infer.export import (
+        eval_exported,
+        export_stablehlo,
+        load_stablehlo,
+        save_weights_npz,
+    )
+    from hgr_tpu.infer.weights import load_classifier_weights
+    from hgr_tpu.models import MultiTaskNet
+
+    data_cfg = load_data_config(args.data_config)
+    image_size = (args.image_size[0], args.image_size[1])
+    variables = load_classifier_weights(args.weight_path, image_size)
+    model = MultiTaskNet(image_size=image_size)
+
+    out = args.out or (args.weight_path.rstrip('/') + '.stablehlo')
+    export_stablehlo(model, variables, out, batch=args.batch)
+    save_weights_npz(variables, out + '.weights.npz')
+    print(f"exported StableHLO artifact -> {out}")
+    print(f"weights bundle -> {out}.weights.npz")
+
+    if not args.skip_eval:
+        fn = load_stablehlo(out)
+        idx = read_annotations(
+            os.path.join(data_cfg.path, data_cfg.test), data_cfg.names)
+        loader = BatchLoader(
+            idx, batch_size=args.batch, canvas_size=args.canvas_size,
+            num_joints=data_cfg.num_joints, shuffle=False, drop_last=False,
+            num_workers=4)
+        print("Testing the exported model on the test split...")
+        res = eval_exported(fn, loader, data_cfg.num_classes)
+        print("Test F1 Score: {:.4f}".format(res["test_f1"]))
+        print("Average time taken to process one image: {:.4f} seconds"
+              .format(res["mean_latency_s"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Training CLI — flag surface mirrors the reference (train.py:244-283)
+plus TPU-native extensions (--dtype, --mesh, --canvas_size).
+
+Example:
+  python cli/train.py --data_config configs/hagrid.yaml --suffix run1 \
+      --batch_size 32 --epochs 50 --lr 1e-3
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--data_config', type=str, required=True,
+                        help='path to the data config')
+    parser.add_argument('--suffix', type=str, default='run',
+                        help='suffix of the model name')
+    parser.add_argument('--backbone', type=str, default='gelans',
+                        choices=['gelans', 'gelanl'],
+                        help='GELAN backbone variant')
+    parser.add_argument('--batch_size', type=int, default=32)
+    parser.add_argument('--epochs', type=int, default=50)
+    parser.add_argument('--lr', type=float, default=0.001)
+    parser.add_argument('--lr_step', nargs='+', type=int, default=[30, 40],
+                        help='learning rate milestones (epochs)')
+    parser.add_argument('--lr_factor', type=float, default=0.1)
+    parser.add_argument('--image_size', nargs='+', type=int,
+                        default=[192, 192],
+                        help='image size (only square supported)')
+    parser.add_argument('--sigma', type=int, default=2)
+    parser.add_argument('--log_dir', type=str, default='logs')
+    parser.add_argument('--save_dir', type=str, default='output')
+    parser.add_argument('--num_workers', type=int, default=8)
+    parser.add_argument('--seed', type=int, default=42)
+    # TPU-native extensions
+    parser.add_argument('--dtype', type=str, default='bfloat16',
+                        choices=['bfloat16', 'float32'],
+                        help='compute dtype')
+    parser.add_argument('--mesh', type=str, default='',
+                        help="mesh spec, e.g. 'data=8' or 'data=4,model=2'; "
+                             'empty = single device')
+    parser.add_argument('--canvas_size', type=int, default=256)
+    parser.add_argument('--resume', action='store_true',
+                        help='resume from last checkpoint if present')
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    assert args.image_size[0] == args.image_size[1], \
+        "Only support square images for now."
+
+    import jax
+
+    from hgr_tpu.config import ModelConfig, TrainConfig, load_data_config
+    from hgr_tpu.data.dataset import read_annotations
+    from hgr_tpu.data.loader import BatchLoader
+    from hgr_tpu.models import MultiTaskNet
+    from hgr_tpu.train.loop import fit
+    from hgr_tpu.train.state import create_train_state
+
+    data_cfg = load_data_config(args.data_config)
+    model_name = "{}_{}x{}_{}".format(
+        args.backbone, args.image_size[0], args.image_size[1], args.suffix)
+    save_path = os.path.join(args.save_dir, model_name)
+    os.makedirs(save_path, exist_ok=True)
+
+    image_size = (args.image_size[0], args.image_size[1])
+    model_cfg = ModelConfig(
+        num_joints=data_cfg.num_joints,
+        num_classes=data_cfg.num_classes,
+        image_size=image_size,
+        backbone='large' if args.backbone == 'gelanl' else 'small',
+        compute_dtype=args.dtype,
+    )
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+        lr_step=tuple(args.lr_step), lr_factor=args.lr_factor,
+        sigma=float(args.sigma), seed=args.seed,
+        num_workers=args.num_workers, log_dir=args.log_dir,
+        save_dir=args.save_dir, canvas_size=args.canvas_size,
+    )
+
+    def make_loader(split_dir, shuffle, drop_last):
+        idx = read_annotations(split_dir, data_cfg.names)
+        return idx, BatchLoader(
+            idx, batch_size=args.batch_size, canvas_size=args.canvas_size,
+            num_joints=data_cfg.num_joints, shuffle=shuffle, seed=args.seed,
+            drop_last=drop_last, num_workers=args.num_workers)
+
+    train_idx, train_loader = make_loader(
+        os.path.join(data_cfg.path, data_cfg.train), True, True)
+    _, val_loader = make_loader(
+        os.path.join(data_cfg.path, data_cfg.val), False, True)
+    _, test_loader = make_loader(
+        os.path.join(data_cfg.path, data_cfg.test), False, True)
+
+    model = MultiTaskNet.from_config(model_cfg)
+    steps_per_epoch = len(train_loader)
+    milestones = [m * steps_per_epoch for m in args.lr_step]
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(args.seed),
+        (1, image_size[0], image_size[1], 3),
+        lr=args.lr, milestones_steps=milestones, lr_factor=args.lr_factor)
+
+    if args.resume:
+        from hgr_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(os.path.join(save_path, "weight"))
+        if ckpt.has("last"):
+            state = ckpt.restore(state, "last")
+            print(f"resumed from step {int(state.step)}")
+
+    if args.mesh:
+        from hgr_tpu.parallel.mesh import make_mesh
+        from hgr_tpu.parallel.steps import shard_state
+
+        shape = {k: int(v) for k, v in
+                 (kv.split('=') for kv in args.mesh.split(','))}
+        mesh = make_mesh(shape)
+        state = shard_state(state, mesh, tensor_parallel='model' in shape)
+        print(f"mesh: {shape}")
+        # NOTE: fit() uses the single-jit path; under a mesh the same
+        # step functions compile with sharded inputs via shard_batch in
+        # the loop (XLA handles the collectives).
+
+    print(f"{len(train_idx)} train samples, {steps_per_epoch} steps/epoch")
+    fit(model_cfg, train_cfg, data_cfg, state, train_loader, val_loader,
+        test_loader, save_path=save_path, log_dir=args.log_dir,
+        run_name=model_name)
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,9 @@ class BatchLoader:
             "joints_vis": np.zeros((bs, self.num_joints), np.float32),
             "label": np.zeros((bs,), np.int32),
         }
+        if self._native_batch(ids, batch):
+            batch["valid"] = np.int32(valid)
+            return batch
         if self.num_workers > 1:
             with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
                 results = list(ex.map(self._load_one, ids))
@@ -123,6 +126,37 @@ class BatchLoader:
             batch["label"][k] = label
         batch["valid"] = np.int32(valid)
         return batch
+
+    def _native_batch(self, ids: np.ndarray, batch: Dict[str, np.ndarray]
+                      ) -> bool:
+        """Whole-batch decode+stage through the C++ runtime
+        (native/hgr_native.cpp); falls back when unavailable or when any
+        decode fails (e.g. non-JPEG files)."""
+        try:
+            from hgr_tpu.data import native
+        except Exception:
+            return False
+        if not native.available():
+            return False
+        paths = [self.index.samples[i].image_path for i in ids]
+        if not all(p.endswith((".jpg", ".jpeg")) for p in paths):
+            return False
+        res = native.stage_batch(
+            paths, self.canvas_size, num_threads=self.num_workers,
+            out_canvases=batch["canvas"], out_affines=batch["orig_to_canvas"],
+            out_sizes=batch["sizes_hw"])
+        if res is None or not res[3].all():
+            return False
+        for k, i in enumerate(ids):
+            s = self.index.samples[i]
+            lm = np.asarray(s.landmark, np.float32).reshape(-1, 2)
+            if lm.shape[0]:
+                h, w = batch["sizes_hw"][k]
+                batch["joints"][k, : lm.shape[0], 0] = lm[:, 0] * w
+                batch["joints"][k, : lm.shape[0], 1] = lm[:, 1] * h
+                batch["joints_vis"][k, : lm.shape[0]] = 1.0
+            batch["label"][k] = self._labels[i]
+        return True
 
     def _batch_ids(self) -> Iterator[np.ndarray]:
         n = len(self.index)

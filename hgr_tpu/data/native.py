@@ -1,0 +1,120 @@
+"""ctypes binding for the native host runtime (native/hgr_native.cpp).
+
+Builds the shared library on first use when the toolchain is available;
+all callers fall back to the cv2/PIL python path when it isn't (see
+hgr_tpu.data.loader). The batch API writes straight into caller-owned
+numpy buffers and releases the GIL for the whole decode+stage batch.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_LIB_DIR, "libhgr_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_attempted
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build_attempted:
+            _build_attempted = True
+            try:
+                subprocess.run(
+                    ["sh", os.path.join(_LIB_DIR, "build.sh")],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        if not os.path.exists(_LIB_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.hgr_decode_jpeg.restype = ctypes.c_int
+        lib.hgr_decode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.hgr_stage_batch.restype = ctypes.c_int
+        lib.hgr_stage_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_MAX_SIDE = 4096
+
+
+def decode_jpeg_bgr(path: str) -> Optional[np.ndarray]:
+    """Decode one JPEG to BGR uint8 (H, W, 3); None on failure/unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = _MAX_SIDE * _MAX_SIDE * 3
+    buf = np.empty((cap,), np.uint8)
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.hgr_decode_jpeg(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def stage_batch(
+    paths: List[str],
+    canvas_size: int,
+    num_threads: int = 4,
+    out_canvases: Optional[np.ndarray] = None,
+    out_affines: Optional[np.ndarray] = None,
+    out_sizes: Optional[np.ndarray] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode + stage a whole batch natively.
+
+    Returns (canvases (N,S,S,3) u8, affines (N,2,3) f32, sizes_hw (N,2)
+    f32, ok (N,) u8) or None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    canvases = out_canvases if out_canvases is not None else np.empty(
+        (n, canvas_size, canvas_size, 3), np.uint8)
+    affines = out_affines if out_affines is not None else np.empty(
+        (n, 2, 3), np.float32)
+    sizes = out_sizes if out_sizes is not None else np.empty(
+        (n, 2), np.float32)
+    ok = np.empty((n,), np.uint8)
+
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.hgr_stage_batch(
+        c_paths, n,
+        canvases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        canvas_size,
+        affines.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads)
+    return canvases, affines, sizes, ok

@@ -217,16 +217,15 @@ def apply_augment_batch(
     center_f = jnp.stack(
         [jnp.where(flip > 0, w - center[:, 0] - 1.0, center[:, 0]),
          center[:, 1]], axis=-1)
-    joints_f = jnp.where(
-        flip[:, None, None] > 0,
-        jnp.stack([w[:, None] - joints[..., 0] - 1.0, joints[..., 1]],
-                  axis=-1),
-        joints)
 
     m_crop = build_affine(
         center_f, params.scale, params.rot, origin_size,
         (float(out_w), float(out_h)))  # orig(flipped) -> crop
 
+    # Mirror matrix F: x -> w - 1 - x (self-inverse). The reference flips
+    # pixels, joints AND center, then warps with m_crop built from the
+    # flipped center. Equivalently: m_orig = m_crop ∘ F applied to the
+    # UNFLIPPED image/joints (m_crop(F(p)) == trans(p_flipped)).
     f_mat = jnp.zeros((b, 2, 3))
     f_mat = f_mat.at[:, 0, 0].set(jnp.where(flip > 0, -1.0, 1.0))
     f_mat = f_mat.at[:, 0, 2].set(jnp.where(flip > 0, w - 1.0, 0.0))
@@ -246,8 +245,9 @@ def apply_augment_batch(
     if normalize:
         crop = normalize_imagenet(crop)
 
-    # Joints: original -> crop space (reference libs/load.py:142-144).
-    joints_crop = transform_points(joints_f, m_orig)
+    # Joints: original -> crop space (reference libs/load.py:142-144);
+    # m_orig already folds the flip.
+    joints_crop = transform_points(joints, m_orig)
 
     target, target_weight = generate_targets(
         joints_crop, joints_vis, (out_w, out_h), heatmap_size, sigma)

@@ -1,0 +1,142 @@
+"""Model export + exported-graph parity evaluation.
+
+Capability parity with reference export.py:
+  * the reference exports a Lightning ckpt to ONNX with a 2-output
+    forward (cls, heatmap — attn dropped, export.py:43-45,72-74) and
+    re-evaluates the whole test set through onnxruntime, reporting
+    macro F1 + mean per-image latency (export.py:83-119).
+  * TPU-natively, "export" = a serialized StableHLO artifact via
+    ``jax.export`` (runs anywhere XLA does), plus an orbax/npz weight
+    bundle. ``eval_exported`` replays the test set through the
+    DESERIALIZED graph so the parity check exercises the actual artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hgr_tpu.models import MultiTaskNet
+from hgr_tpu.models.multitasknet import heatmaps_to_nchw
+
+
+def make_inference_fn(model: MultiTaskNet, variables: Dict[str, Any]
+                      ) -> Callable:
+    """2-output inference forward (cls, heatmap NCHW) — the deployed
+    surface (reference export.py:42-45)."""
+
+    def fwd(x):
+        logits, hmap, _ = model.apply(variables, x, train=False)
+        return logits, heatmaps_to_nchw(hmap)
+
+    return fwd
+
+
+def export_stablehlo(
+    model: MultiTaskNet,
+    variables: Dict[str, Any],
+    path: str,
+    batch: int = 1,
+) -> str:
+    """Serialize the jitted 2-output forward to a StableHLO artifact.
+
+    Static input (batch, H, W, 3) float32 NHWC — mirroring the
+    reference's static 1x3x192x192 ONNX export (export.py:72-74).
+    """
+    from jax import export as jexport
+
+    h, w = model.image_size
+    fwd = jax.jit(make_inference_fn(model, variables))
+    exported = jexport.export(fwd)(
+        jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32))
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_stablehlo(path: str) -> Callable:
+    """Deserialize an exported artifact into a callable."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    exported = jexport.deserialize(blob)
+    return lambda x: exported.call(x)
+
+
+def eval_exported(
+    fn: Callable,
+    loader,
+    num_classes: int = 19,
+) -> Dict[str, float]:
+    """Full test-set eval through an exported graph: macro F1 + mean
+    per-image latency (reference export.py:83-119)."""
+    from hgr_tpu.data.pipeline import apply_augment_batch, identity_params
+    from hgr_tpu.ops.metrics import (
+        confusion_update,
+        macro_f1_from_confusion,
+    )
+
+    conf = jnp.zeros((num_classes, num_classes))
+    total_time = 0.0
+    n_images = 0
+    prep = jax.jit(lambda c, a, s, j, v: apply_augment_batch(
+        c, a, s, j, v, identity_params(c.shape[0]))["image"])
+
+    for batch in loader:
+        valid = int(batch.pop("valid", batch["label"].shape[0]))
+        images = prep(
+            jnp.asarray(batch["canvas"]),
+            jnp.asarray(batch["orig_to_canvas"]),
+            jnp.asarray(batch["sizes_hw"]),
+            jnp.asarray(batch["joints"]),
+            jnp.asarray(batch["joints_vis"]))
+        t0 = time.perf_counter()
+        logits, _ = fn(images)
+        logits = jax.block_until_ready(logits)
+        total_time += time.perf_counter() - t0
+        preds = jnp.argmax(logits, axis=-1)[:valid]
+        labels = jnp.asarray(batch["label"])[:valid]
+        conf = confusion_update(conf, labels, preds)
+        n_images += valid
+
+    f1 = float(macro_f1_from_confusion(conf))
+    return {
+        "test_f1": f1,
+        "mean_latency_s": total_time / max(n_images, 1),
+        "images": n_images,
+    }
+
+
+def save_weights_npz(variables: Dict[str, Any], path: str) -> None:
+    """Flatten variables to an .npz of 'collection/path/leaf' arrays."""
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(variables, "")
+    np.savez(path, **flat)
+
+
+def load_weights_npz(path: str) -> Dict[str, Any]:
+    raw = np.load(path)
+    tree: Dict[str, Any] = {}
+    for key in raw.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = raw[key]
+    return tree

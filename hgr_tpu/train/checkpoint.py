@@ -1,0 +1,78 @@
+"""Orbax checkpointing: best-by-monitored-scalar + last.
+
+Policy parity with the reference's Lightning ModelCheckpoint
+(reference train.py:214-221: monitor 'val/total_loss', mode min,
+save_top_k=1, save_last). Unlike the reference (weights_only=True), we
+persist optimizer state and step too, enabling true resume (SURVEY.md
+§5.4 calls this out as a reference gap).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+class CheckpointManager:
+    """best/ + last/ checkpoints under ``directory``."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._best_metric: Optional[float] = None
+        self._ckptr = _ocp().StandardCheckpointer()
+
+    def _save(self, name: str, state) -> None:
+        path = os.path.join(self.directory, name)
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()
+
+    def save_last(self, state) -> None:
+        self._save("last", state)
+
+    def maybe_save_best(self, state, monitored: float) -> bool:
+        """Save as best when ``monitored`` improves (min mode). Returns
+        whether a save happened."""
+        if self._best_metric is None or monitored < self._best_metric:
+            self._best_metric = float(monitored)
+            self._save("best", state)
+            with open(os.path.join(self.directory, "best_metric.txt"),
+                      "w") as f:
+                f.write(str(self._best_metric))
+            return True
+        return False
+
+    def restore(self, state, name: str = "last"):
+        """Restore into a template TrainState (returns a new state)."""
+        path = os.path.join(self.directory, name)
+        template = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        restored = self._ckptr.restore(path, template)
+        return state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+
+    def has(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.directory, name))

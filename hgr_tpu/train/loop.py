@@ -1,0 +1,197 @@
+"""The training loop: epochs over staged batches, on-device metrics,
+best/last checkpoints, debug-image dumps, final test with confusion matrix.
+
+Orchestration parity with the reference MultiTaskModule/Trainer
+(reference train.py:24-240):
+  * per-step logging of total/class/joints loss, batch macro-F1 and
+    running PCK pose accuracy (train.py:86-107 — but computed on device);
+  * val each epoch; best checkpoint on min val total loss, plus last
+    (train.py:214-221);
+  * debug image grids every ``debug_every`` batches (train.py:148-174);
+  * test at the end: epoch macro-F1 print + confusion-matrix PNG
+    (train.py:176-187).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hgr_tpu.config import AugmentConfig, DataConfig, ModelConfig, TrainConfig
+from hgr_tpu.data.loader import BatchLoader
+from hgr_tpu.ops.metrics import macro_f1_from_confusion
+from hgr_tpu.train.checkpoint import CheckpointManager
+from hgr_tpu.train.logging import MetricLogger
+from hgr_tpu.train.state import TrainState
+from hgr_tpu.train.steps import make_eval_step, make_train_step
+
+
+class EpochMetrics:
+    """Host-side accumulator over per-step device metrics."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self.reset()
+
+    def reset(self) -> None:
+        self.sums: Dict[str, float] = {}
+        self.count = 0
+        self.pose_acc_weighted = 0.0
+        self.pose_cnt = 0.0
+        self.conf = np.zeros((self.num_classes, self.num_classes))
+
+    def update(self, metrics: Dict) -> Dict[str, float]:
+        self.count += 1
+        for k in ("total_loss", "class_loss", "joints_loss", "cls_f1score"):
+            self.sums[k] = self.sums.get(k, 0.0) + float(metrics[k])
+        cnt = float(metrics["pose_cnt"])
+        # running pose acc mirrors the reference's manual accumulators
+        # (train.py:89-90: total_acc += avg_acc * cnt; count += cnt)
+        self.pose_acc_weighted += float(metrics["pose_acc"]) * cnt
+        self.pose_cnt += cnt
+        self.conf += np.asarray(metrics["conf_update"])
+        return self.snapshot()
+
+    def snapshot(self) -> Dict[str, float]:
+        out = {k: v / max(self.count, 1) for k, v in self.sums.items()}
+        out["pose_acc"] = (
+            self.pose_acc_weighted / self.pose_cnt if self.pose_cnt else 0.0)
+        out["epoch_f1"] = float(
+            macro_f1_from_confusion(jnp.asarray(self.conf)))
+        return out
+
+
+def train_epoch(
+    state: TrainState,
+    step_fn: Callable,
+    loader: BatchLoader,
+    key: jax.Array,
+    metrics: EpochMetrics,
+    logger: Optional[MetricLogger] = None,
+    log_every: int = 50,
+    prefix: str = "train",
+) -> TrainState:
+    for i, batch in enumerate(loader):
+        batch.pop("valid", None)
+        key, sub = jax.random.split(key)
+        state, m = step_fn(
+            state, {k: jnp.asarray(v) for k, v in batch.items()}, sub)
+        snap = metrics.update(m)
+        if logger is not None and i % log_every == 0:
+            logger.log(int(state.step),
+                       {f"{prefix}/{k}": v for k, v in snap.items()})
+    return state
+
+
+def eval_epoch(
+    state: TrainState,
+    eval_fn: Callable,
+    loader: BatchLoader,
+    metrics: EpochMetrics,
+) -> Dict[str, float]:
+    metrics.reset()
+    for batch in loader:
+        batch.pop("valid", None)
+        m = eval_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+        metrics.update(m)
+    return metrics.snapshot()
+
+
+def fit(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    data_cfg: DataConfig,
+    state: TrainState,
+    train_loader: BatchLoader,
+    val_loader: BatchLoader,
+    test_loader: Optional[BatchLoader] = None,
+    save_path: str = "output/run",
+    log_dir: str = "logs",
+    run_name: str = "run",
+    debug_dump: Optional[Callable] = None,
+) -> TrainState:
+    """Full fit + test (reference train.py:190-240)."""
+    num_classes = data_cfg.num_classes
+    aug = data_cfg.augments
+
+    step_kw = dict(
+        num_classes=num_classes, sigma=train_cfg.sigma,
+        image_size=model_cfg.image_size,
+        heatmap_size=model_cfg.heatmap_size)
+    train_step = make_train_step(aug, **step_kw)
+    eval_step = make_eval_step(**step_kw)
+
+    logger = MetricLogger(log_dir, run_name)
+    ckpt = CheckpointManager(os.path.join(save_path, "weight"))
+    train_metrics = EpochMetrics(num_classes)
+    val_metrics = EpochMetrics(num_classes)
+    key = jax.random.PRNGKey(train_cfg.seed)
+
+    for epoch in range(train_cfg.epochs):
+        t0 = time.time()
+        train_metrics.reset()
+        key, sub = jax.random.split(key)
+        state = train_epoch(state, train_step, train_loader, sub,
+                            train_metrics, logger)
+        tr = train_metrics.snapshot()
+
+        val = eval_epoch(state, eval_step, val_loader, val_metrics)
+        logger.log(int(state.step),
+                   {**{f"train/{k}": v for k, v in tr.items()},
+                    **{f"val/{k}": v for k, v in val.items()},
+                    "epoch": epoch,
+                    "epoch_time_s": time.time() - t0})
+
+        ckpt.save_last(state)
+        ckpt.maybe_save_best(state, val["total_loss"])
+        if debug_dump is not None:
+            debug_dump(state, epoch)
+        print(f"epoch {epoch}: train_loss={tr['total_loss']:.4f} "
+              f"val_loss={val['total_loss']:.4f} "
+              f"val_f1={val['epoch_f1']:.4f} "
+              f"val_pose_acc={val['pose_acc']:.4f}")
+
+    if test_loader is not None:
+        best_state = ckpt.restore(state, "best") if ckpt.has("best") else state
+        test_metrics = EpochMetrics(num_classes)
+        test = eval_epoch(best_state, eval_step, test_loader, test_metrics)
+        print("Test F1 Score: {:.4f}".format(test["epoch_f1"]))
+        _save_confusion_png(
+            test_metrics.conf, list(data_cfg.names.keys()),
+            os.path.join(save_path, "confusion_matrix.png"))
+    logger.close()
+    return state
+
+
+def _save_confusion_png(conf: np.ndarray, labels, path: str) -> None:
+    """Confusion-matrix PNG (reference train.py:180-187)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, 10))
+        im = ax.imshow(conf, cmap="Blues")
+        ax.set_xticks(range(len(labels)))
+        ax.set_yticks(range(len(labels)))
+        ax.set_xticklabels(labels, rotation=90)
+        ax.set_yticklabels(labels)
+        ax.set_xlabel("predicted")
+        ax.set_ylabel("true")
+        for i in range(conf.shape[0]):
+            for j in range(conf.shape[1]):
+                if conf[i, j] > 0:
+                    ax.text(j, i, int(conf[i, j]), ha="center", va="center",
+                            fontsize=7)
+        fig.colorbar(im)
+        plt.tight_layout()
+        plt.savefig(path)
+        plt.close(fig)
+    except Exception:
+        np.save(path.replace(".png", ".npy"), conf)

@@ -1,0 +1,95 @@
+"""ONNX -> Flax weight conversion for the YOLOv7-tiny detector.
+
+The reference ships the detector as an opaque ONNX file trained
+externally (reference README.md:84, detect.py:67). This module converts
+its initializers into hgr_tpu.models.yolo.YOLOv7Tiny variables so the
+detect pipeline runs natively on TPU.
+
+Requires the ``onnx`` package (NOT baked into this image — the converter
+raises a clear error when it's missing; use the .npz path in that case).
+The converter matches initializers by graph traversal order of Conv
+nodes, which is stable for the yolov7 exporter's topologically-sorted
+graphs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+# Flax module order of ConvAct blocks in YOLOv7Tiny.__call__ — must match
+# the exporter's topological Conv order (backbone -> neck -> heads).
+CONV_ORDER: List[str] = [
+    "stem1", "stem2",
+    "elan1/cv1", "elan1/cv2", "elan1/cv3", "elan1/cv4", "elan1/out",
+    "elan2/cv1", "elan2/cv2", "elan2/cv3", "elan2/cv4", "elan2/out",
+    "elan3/cv1", "elan3/cv2", "elan3/cv3", "elan3/cv4", "elan3/out",
+    "elan4/cv1", "elan4/cv2", "elan4/cv3", "elan4/cv4", "elan4/out",
+    "spp/cv1", "spp/cv2", "spp/cv3", "spp/out",
+    "up4_conv", "route4",
+    "neck4/cv1", "neck4/cv2", "neck4/cv3", "neck4/cv4", "neck4/out",
+    "up3_conv", "route3",
+    "neck3/cv1", "neck3/cv2", "neck3/cv3", "neck3/cv4", "neck3/out",
+    "down4",
+    "neck4b/cv1", "neck4b/cv2", "neck4b/cv3", "neck4b/cv4", "neck4b/out",
+    "down5",
+    "neck5b/cv1", "neck5b/cv2", "neck5b/cv3", "neck5b/cv4", "neck5b/out",
+    "head0_conv", "head1_conv", "head2_conv",
+]
+DETECT_CONVS = ["detect0", "detect1", "detect2"]
+
+
+def port_yolov7_tiny_onnx(path: str) -> Dict[str, Any]:
+    try:
+        import onnx
+        from onnx import numpy_helper
+    except ImportError as e:
+        raise ImportError(
+            "the 'onnx' package is required to convert .onnx detector "
+            "weights; convert offline and supply a .npz instead "
+            "(hgr_tpu.models.yolo.load_npz_weights format)") from e
+
+    model = onnx.load(path)
+    inits = {i.name: numpy_helper.to_array(i) for i in model.graph.initializer}
+
+    convs = []
+    for node in model.graph.node:
+        if node.op_type == "Conv":
+            w = inits.get(node.input[1])
+            b = inits.get(node.input[2]) if len(node.input) > 2 else None
+            convs.append((w, b))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path_str, value):
+        node = tree
+        keys = path_str.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+
+    # The yolov7 ONNX exporter fuses BN into conv (conv has bias); we
+    # fold that into identity BN here.
+    n_named = len(CONV_ORDER)
+    if len(convs) < n_named + len(DETECT_CONVS):
+        raise ValueError(
+            f"unexpected Conv count {len(convs)} in {path}; expected >= "
+            f"{n_named + len(DETECT_CONVS)}")
+    for name, (w, b) in zip(CONV_ORDER, convs[:n_named]):
+        kernel = np.transpose(w, (2, 3, 1, 0))
+        put(params, f"{name}/conv/kernel", kernel)
+        c = kernel.shape[-1]
+        put(params, f"{name}/bn/scale", np.ones((c,), np.float32))
+        put(params, f"{name}/bn/bias",
+            b.astype(np.float32) if b is not None else np.zeros((c,),
+                                                                np.float32))
+        put(stats, f"{name}/bn/mean", np.zeros((c,), np.float32))
+        put(stats, f"{name}/bn/var", np.ones((c,), np.float32))
+    for name, (w, b) in zip(DETECT_CONVS, convs[n_named:n_named + 3]):
+        put(params, f"{name}/kernel", np.transpose(w, (2, 3, 1, 0)))
+        put(params, f"{name}/bias",
+            b if b is not None else np.zeros((w.shape[0],), np.float32))
+
+    return {"params": params, "batch_stats": stats}

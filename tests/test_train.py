@@ -1,0 +1,162 @@
+"""End-to-end training tests on the synthetic fixture: the loader reads
+the reference annotation format, the jitted step runs, the loss goes down
+(overfit), checkpoints save/restore, and the LR schedule steps.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hgr_tpu.config import AugmentConfig, DataConfig, DEFAULT_NAMES, ModelConfig, TrainConfig
+from hgr_tpu.data.dataset import read_annotations
+from hgr_tpu.data.loader import BatchLoader
+from hgr_tpu.data.synthetic import write_synthetic_split
+from hgr_tpu.models import MultiTaskNet
+from hgr_tpu.train.checkpoint import CheckpointManager
+from hgr_tpu.train.loop import EpochMetrics, eval_epoch, train_epoch
+from hgr_tpu.train.state import create_train_state, multistep_lr
+from hgr_tpu.train.steps import make_eval_step, make_train_step
+
+IMAGE = 64
+HM = IMAGE // 4
+HI = jax.lax.Precision.HIGHEST
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("hagrid_synth"))
+    write_synthetic_split(d, "train", 24, image_size=96, seed=0)
+    write_synthetic_split(d, "val", 8, image_size=96, seed=1)
+    return d
+
+
+def test_reader_parses_reference_format(synth_dir):
+    idx = read_annotations(
+        os.path.join(synth_dir, "annotations", "train"), DEFAULT_NAMES)
+    assert len(idx) == 24
+    s = idx.samples[0]
+    assert os.path.isfile(s.image_path)
+    assert s.label in DEFAULT_NAMES
+    labels = idx.labels()
+    assert labels.min() >= 0 and labels.max() < 19
+    # the fixture interleaves one empty-landmark sample
+    empties = [s for s in idx.samples if len(s.landmark) == 0]
+    assert len(empties) == 1
+
+
+def test_reader_raises_on_missing(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_annotations(str(tmp_path), DEFAULT_NAMES)
+
+
+def test_loader_batches(synth_dir):
+    idx = read_annotations(
+        os.path.join(synth_dir, "annotations", "train"), DEFAULT_NAMES)
+    loader = BatchLoader(idx, batch_size=8, canvas_size=128, shuffle=True,
+                         num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["canvas"].shape == (8, 128, 128, 3)
+    assert b["canvas"].dtype == np.uint8
+    assert b["joints"].shape == (8, 21, 2)
+    assert b["label"].shape == (8,)
+    # shuffling changes order between epochs
+    b2 = next(iter(loader))
+    assert not np.array_equal(b["label"], b2["label"]) or not np.array_equal(
+        b["canvas"], b2["canvas"])
+
+
+def test_loader_eval_padding(synth_dir):
+    idx = read_annotations(
+        os.path.join(synth_dir, "annotations", "val"), DEFAULT_NAMES)
+    loader = BatchLoader(idx, batch_size=5, canvas_size=128, shuffle=False,
+                         drop_last=False, num_workers=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert int(batches[-1]["valid"]) == 3  # 8 = 5 + 3
+
+
+def test_overfit_synthetic(synth_dir):
+    """Loss decreases markedly when overfitting a few synthetic batches."""
+    idx = read_annotations(
+        os.path.join(synth_dir, "annotations", "train"), DEFAULT_NAMES)
+    loader = BatchLoader(idx, batch_size=8, canvas_size=128, shuffle=False,
+                         num_workers=2)
+    batch = next(iter(loader))
+    batch.pop("valid")
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = MultiTaskNet(image_size=(IMAGE, IMAGE), precision=HI)
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), (1, IMAGE, IMAGE, 3), lr=3e-3,
+        milestones_steps=(10_000,))
+    # no stochastic augmentation -> pure overfit signal
+    aug_off = AugmentConfig(rotate_factor=0, scale_factor=0,
+                            translate_factor=0, horizontal_flip=False,
+                            color_jittering=False)
+    step = make_train_step(aug_off, image_size=(IMAGE, IMAGE),
+                           heatmap_size=(HM, HM))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, m = step(state, jb, sub)
+        losses.append(float(m["total_loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses
+    assert np.isfinite(losses).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, synth_dir):
+    model = MultiTaskNet(image_size=(IMAGE, IMAGE), precision=HI)
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), (1, IMAGE, IMAGE, 3), lr=1e-3,
+        milestones_steps=(100,))
+    ckpt = CheckpointManager(str(tmp_path / "weights"))
+    ckpt.save_last(state)
+    assert ckpt.has("last")
+
+    # best saves only on improvement
+    assert ckpt.maybe_save_best(state, 1.0)
+    assert not ckpt.maybe_save_best(state, 2.0)
+    assert ckpt.maybe_save_best(state, 0.5)
+
+    # mutate then restore
+    zeroed = state.replace(
+        params=jax.tree_util.tree_map(jnp.zeros_like, state.params))
+    restored = ckpt.restore(zeroed, "last")
+    orig = jax.tree_util.tree_leaves(state.params)
+    back = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multistep_lr_schedule():
+    sched = multistep_lr(1e-3, milestones_steps=(10, 20), factor=0.1)
+    np.testing.assert_allclose(float(sched(0)), 1e-3)
+    np.testing.assert_allclose(float(sched(9)), 1e-3)
+    np.testing.assert_allclose(float(sched(10)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(25)), 1e-5, rtol=1e-6)
+
+
+def test_eval_epoch_metrics(synth_dir):
+    idx = read_annotations(
+        os.path.join(synth_dir, "annotations", "val"), DEFAULT_NAMES)
+    loader = BatchLoader(idx, batch_size=4, canvas_size=128, shuffle=False,
+                         num_workers=1)
+    model = MultiTaskNet(image_size=(IMAGE, IMAGE), precision=HI)
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), (1, IMAGE, IMAGE, 3), lr=1e-3,
+        milestones_steps=(100,))
+    eval_step = make_eval_step(image_size=(IMAGE, IMAGE),
+                               heatmap_size=(HM, HM))
+    metrics = EpochMetrics(19)
+    out = eval_epoch(state, eval_step, loader, metrics)
+    assert set(out) >= {"total_loss", "class_loss", "joints_loss",
+                        "pose_acc", "epoch_f1"}
+    assert np.isfinite(out["total_loss"])
+    assert 0.0 <= out["epoch_f1"] <= 1.0
