@@ -23,7 +23,7 @@ REFERENCE_CROPS_PER_SEC = 14.0  # BASELINE.md [measured], torch CPU bs=32
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--include-augment", action="store_true",
@@ -69,13 +69,16 @@ def main() -> None:
         run = lambda: fn(*inputs)
         metric_name = "augment+classify+pose crops/sec/chip @192x192"
     else:
+        # Deployed 2-output forward (the reference's exported graph also
+        # drops the attention map, export.py:43-45), bf16 activations.
         @jax.jit
         def fwd(x):
-            return model.apply(variables, x, train=False)
+            logits, hmap, _ = model.apply(variables, x, train=False)
+            return logits, hmap
 
         x = jnp.asarray(
             np.random.RandomState(0).randn(args.batch, 192, 192, 3),
-            jnp.float32)
+            jnp.bfloat16)
         run = lambda: fwd(x)
         metric_name = "classify+pose crops/sec/chip @192x192"
 

@@ -39,7 +39,7 @@ from hgr_tpu.config import AugmentConfig
 from hgr_tpu.ops.affine import build_affine, compose_affine, invert_affine, transform_points
 from hgr_tpu.ops.color import hsv_jitter, normalize_imagenet
 from hgr_tpu.ops.heatmap import generate_targets
-from hgr_tpu.ops.warp import batched_affine_warp
+from hgr_tpu.ops.warp import batched_affine_warp, batched_affine_warp_twopass
 
 Array = jax.Array
 
@@ -193,6 +193,7 @@ def apply_augment_batch(
     sigma: float = 2.0,
     crop_size_factor: float = 0.35,
     normalize: bool = True,
+    warp_method: str = "auto",
 ) -> Dict[str, Array]:
     """The full reference __getitem__ transform, batched on device
     (reference libs/load.py:52-94 + preprocess :99-146).
@@ -239,7 +240,22 @@ def apply_augment_batch(
     img = canvas.astype(jnp.float32)
     jittered = hsv_jitter(img, params.jitter_gains)
     img = jnp.where(params.do_jitter[:, None, None, None] > 0, jittered, img)
-    crop = batched_affine_warp(img, m_canvas, (out_h, out_w))
+    # 'auto': exact 4-tap gather on CPU (golden-parity); on TPU the
+    # Pallas two-pass kernel (ops/warp_pallas.py) — the XLA per-element
+    # gather is ~30x slower there (1062ms vs 35ms for 512x256x256).
+    if warp_method == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        s = canvas.shape[1]
+        kernel_ok = (canvas.shape[1] == canvas.shape[2]) and s % 128 == 0
+        warp_method = "pallas" if (on_tpu and kernel_ok) else "exact"
+    if warp_method == "pallas":
+        from hgr_tpu.ops.warp_pallas import warp_twopass_pallas
+
+        crop = warp_twopass_pallas(img, m_canvas, (out_h, out_w))
+    elif warp_method == "twopass":
+        crop = batched_affine_warp_twopass(img, m_canvas, (out_h, out_w))
+    else:
+        crop = batched_affine_warp(img, m_canvas, (out_h, out_w))
     # cv2.warpAffine on uint8 rounds; reproduce before normalizing.
     crop = jnp.round(jnp.clip(crop, 0.0, 255.0))
     if normalize:

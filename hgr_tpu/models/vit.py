@@ -186,11 +186,19 @@ class ViT(nn.Module):
         hmap = hmap_feat.reshape(b, h, w, self.dim)
         # align_corners=True x4 bilinear as two MXU matmuls (ops/resize.py),
         # then ReLU -> 1x1 conv (reference transformer.py:146-150).
-        hmap = upsample_bilinear_align_corners(hmap, 4)
+        # The upsample rides the module's compute dtype/precision — in bf16
+        # mode that's a single-pass MXU matmul instead of 6-pass f32.
+        up_precision = (self.precision if self.precision is not None
+                        else (jax.lax.Precision.HIGHEST
+                              if self.dtype == jnp.float32 else None))
+        hmap = upsample_bilinear_align_corners(
+            hmap, 4, precision=up_precision,
+            compute_dtype=jnp.float32 if self.dtype == jnp.float32
+            else self.dtype)
         hmap = nn.relu(hmap)
         hmap_out = nn.Conv(
             self.num_joints, kernel_size=(1, 1), use_bias=True,
-            dtype=jnp.float32, param_dtype=jnp.float32,
+            dtype=self.dtype, param_dtype=jnp.float32,
             precision=self.precision, name="simple_decoder_conv")(hmap)
 
-        return cls_out, hmap_out, attnmap
+        return cls_out, hmap_out.astype(jnp.float32), attnmap

@@ -57,30 +57,43 @@ def _half_pixel_matrix(n_in: int, n_out: int) -> np.ndarray:
     return mat
 
 
-def _separable_resize(x: Array, out_hw: Tuple[int, int], mat_fn) -> Array:
-    """Apply per-axis interpolation matrices to (..., H, W, C) NHWC input."""
+def _separable_resize(x: Array, out_hw: Tuple[int, int], mat_fn,
+                      precision=jax.lax.Precision.HIGHEST,
+                      compute_dtype=jnp.float32) -> Array:
+    """Apply per-axis interpolation matrices to (..., H, W, C) NHWC input.
+
+    Defaults to exact f32 matmuls (geometry must not drift under JAX's
+    reduced default matmul precision); the model's decoder passes its own
+    compute dtype/precision so the upsample rides the fast bf16 MXU path.
+    """
     h_in, w_in = x.shape[-3], x.shape[-2]
     h_out, w_out = int(out_hw[0]), int(out_hw[1])
-    ah = jnp.asarray(mat_fn(h_in, h_out))  # (h_out, h_in)
-    aw = jnp.asarray(mat_fn(w_in, w_out))  # (w_out, w_in)
+    ah = jnp.asarray(mat_fn(h_in, h_out), compute_dtype)  # (h_out, h_in)
+    aw = jnp.asarray(mat_fn(w_in, w_out), compute_dtype)  # (w_out, w_in)
     dtype = x.dtype
-    hi = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("oh,...hwc->...owc", ah, x.astype(jnp.float32), precision=hi)
-    y = jnp.einsum("pw,...owc->...opc", aw, y, precision=hi)
+    y = jnp.einsum("oh,...hwc->...owc", ah, x.astype(compute_dtype),
+                   precision=precision)
+    y = jnp.einsum("pw,...owc->...opc", aw, y, precision=precision)
     return y.astype(dtype)
 
 
-def upsample_bilinear_align_corners(x: Array, scale: int = 4) -> Array:
+def upsample_bilinear_align_corners(x: Array, scale: int = 4,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    compute_dtype=jnp.float32) -> Array:
     """x: (..., H, W, C) -> (..., H*scale, W*scale, C), align_corners=True.
 
     Exact match for torch F.interpolate(scale_factor=scale, mode='bilinear',
     align_corners=True) (reference model/transformer.py:148-149).
     """
     h, w = x.shape[-3], x.shape[-2]
-    return _separable_resize(x, (h * scale, w * scale), _align_corners_matrix)
+    return _separable_resize(x, (h * scale, w * scale),
+                             _align_corners_matrix, precision, compute_dtype)
 
 
-def resize_bilinear(x: Array, out_hw: Tuple[int, int]) -> Array:
+def resize_bilinear(x: Array, out_hw: Tuple[int, int],
+                    precision=jax.lax.Precision.HIGHEST,
+                    compute_dtype=jnp.float32) -> Array:
     """Half-pixel bilinear resize of (..., H, W, C) — cv2.resize semantics
     (used in detection letterboxing, reference detect.py:38)."""
-    return _separable_resize(x, out_hw, _half_pixel_matrix)
+    return _separable_resize(x, out_hw, _half_pixel_matrix, precision,
+                             compute_dtype)

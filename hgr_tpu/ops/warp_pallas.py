@@ -1,0 +1,194 @@
+"""Pallas two-pass affine warp kernel.
+
+Why this exists: the exact 4-tap gather warp (ops/warp.py) lowers to
+per-element HBM gathers on TPU (~1s for a 512x256x256 batch, measured),
+and XLA's lowering of the two-pass take_along_axis formulation is no
+better. Mosaic's `tpu.dynamic_gather` — reachable from a kernel via
+``jnp.take_along_axis`` on 2D VMEM values — is a vectorized register
+gather, but only for operands with EXACTLY 128 lanes (lane gather) or 8
+sublanes (sublane gather), empirically bisected on this toolchain.
+
+Kernel layout per (image, channel) program:
+  * the whole canvas channel (S x S, S multiple of 128) lives in VMEM;
+  * pass 1 (horizontal): positions u = alpha*x' + beta*k + gamma; the
+    canvas splits into S/128-lane panels, each tap gathered per panel and
+    combined with selects (chunked over 128-lane output columns);
+  * pass 2 (vertical): the intermediate transposes in VMEM, then the same
+    chunked lane-gather implements the row resample; transpose back;
+  * out-of-crop masking from the original inverse affine, matching
+    cv2 BORDER_CONSTANT zero fill.
+
+The affine decomposition (Catmull-Smith shears, transpose routing for
+near-90-degree rotations) and parity notes live in
+ops/warp.py:batched_affine_warp_twopass — this kernel computes the same
+function (tests pin kernel == XLA twopass on CPU interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+from hgr_tpu.ops.affine import invert_affine
+
+Array = jax.Array
+LANE = 128
+
+
+def _chunked_lane_gather(panels, idx):
+    """Gather along the last axis of a (S, S) value stored as a list of
+    (S, 128) panels: out[r, j] = value[r, idx[r, j]].
+
+    idx: (S, 128) int32 (one output chunk). Uses one tpu.dynamic_gather
+    per source panel + selects (the only gather shape Mosaic accepts).
+    """
+    out = None
+    for p, panel in enumerate(panels):
+        local = jnp.clip(idx - p * LANE, 0, LANE - 1)
+        vals = jnp.take_along_axis(panel, local, axis=1)
+        if out is None:
+            out = vals
+        else:
+            out = jnp.where((idx >= p * LANE) & (idx < (p + 1) * LANE),
+                            vals, out)
+    return out
+
+
+def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int):
+    """One (image, channel): img_ref (1, 1, S, S) -> out_ref (1, 1, S, S).
+
+    ``params_ref`` is the whole (B, 6) array scalar-prefetched into SMEM
+    (PrefetchScalarGridSpec); rows indexed by the image grid axis."""
+    i = pl.program_id(0)
+    img = img_ref[0, 0]  # (S, S) f32
+    alpha = params_ref[i, 0]
+    beta = params_ref[i, 1]
+    gamma = params_ref[i, 2]
+    s2 = params_ref[i, 3]
+    t2 = params_ref[i, 4]
+    u2 = params_ref[i, 5]
+
+    n_panels = s_dim // LANE
+    src_panels = [img[:, p * LANE:(p + 1) * LANE] for p in range(n_panels)]
+
+    # ---- pass 1: horizontal resample, chunk over output columns ----
+    k_col = jax.lax.broadcasted_iota(jnp.int32, (s_dim, LANE), 0).astype(jnp.float32)
+    h_chunks = []
+    for c in range(n_panels):
+        xprime = (jax.lax.broadcasted_iota(jnp.int32, (s_dim, LANE), 1)
+                  .astype(jnp.float32) + c * LANE)
+        pos = alpha * xprime + beta * k_col + gamma
+        x0 = jnp.floor(pos)
+        fx = pos - x0
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, s_dim - 1)
+        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, s_dim - 1)
+        left = _chunked_lane_gather(src_panels, x0i)
+        right = _chunked_lane_gather(src_panels, x1i)
+        h_chunks.append(left * (1.0 - fx) + right * fx)
+    h = jnp.concatenate(h_chunks, axis=1)  # (S, S): H[k, x']
+
+    # ---- pass 2: vertical resample via transpose + lane gather ----
+    ht = h.T  # (S, S): Ht[x', k]
+    ht_panels = [ht[:, p * LANE:(p + 1) * LANE] for p in range(n_panels)]
+    xprime_col = jax.lax.broadcasted_iota(jnp.int32, (s_dim, LANE), 0).astype(jnp.float32)
+    out_chunks = []
+    for c in range(n_panels):
+        yprime = (jax.lax.broadcasted_iota(jnp.int32, (s_dim, LANE), 1)
+                  .astype(jnp.float32) + c * LANE)
+        pos = s2 * xprime_col + t2 * yprime + u2
+        y0 = jnp.floor(pos)
+        fy = pos - y0
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, s_dim - 1)
+        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, s_dim - 1)
+        top = _chunked_lane_gather(ht_panels, y0i)
+        bot = _chunked_lane_gather(ht_panels, y1i)
+        out_chunks.append(top * (1.0 - fy) + bot * fy)
+    out_t = jnp.concatenate(out_chunks, axis=1)  # (S, S): out[x', y']
+    out_ref[0, 0] = out_t.T
+
+
+def warp_twopass_pallas(
+    images: Array,  # (B, S, S, C) float32
+    m: Array,  # (B, 2, 3) src->dst affine
+    out_size: Tuple[int, int],
+    interpret: bool = False,
+) -> Array:
+    """Pallas-accelerated two-pass warp. Same contract as
+    ops.warp.batched_affine_warp_twopass (square canvas, S % 128 == 0)."""
+    out_h, out_w = int(out_size[0]), int(out_size[1])
+    b, s_dim, s_w, c = images.shape
+    assert s_dim == s_w and s_dim % LANE == 0, (
+        "canvas must be square with side a multiple of 128")
+    orig_dtype = images.dtype
+    imgs = images.astype(jnp.float32)
+
+    minv = invert_affine(jnp.asarray(m, jnp.float32))
+    p_, q_, r_ = minv[:, 0, 0], minv[:, 0, 1], minv[:, 0, 2]
+    s_, t_, u_ = minv[:, 1, 0], minv[:, 1, 1], minv[:, 1, 2]
+
+    use_t = jnp.abs(t_) < jnp.abs(s_)
+    imgs_sel = jnp.where(use_t[:, None, None, None],
+                         jnp.swapaxes(imgs, 1, 2), imgs)
+    p = jnp.where(use_t, s_, p_)
+    q = jnp.where(use_t, t_, q_)
+    r = jnp.where(use_t, u_, r_)
+    s2 = jnp.where(use_t, p_, s_)
+    t2 = jnp.where(use_t, q_, t_)
+    u2 = jnp.where(use_t, r_, u_)
+    safe_t = jnp.where(jnp.abs(t2) < 1e-6, 1e-6, t2)
+    alpha = p - q * s2 / safe_t
+    beta = q / safe_t
+    gamma = r - q * u2 / safe_t
+    params = jnp.stack([alpha, beta, gamma, s2, t2, u2], axis=-1)  # (B, 6)
+
+    chw = jnp.moveaxis(imgs_sel, -1, 1)  # (B, C, S, S)
+
+    kernel = functools.partial(_warp_kernel, s_dim=s_dim)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, c),
+        in_specs=[
+            pl.BlockSpec((1, 1, s_dim, s_dim),
+                         lambda i, j, params: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s_dim, s_dim),
+                               lambda i, j, params: (i, j, 0, 0)),
+    )
+    out_chw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, s_dim, s_dim), jnp.float32),
+        interpret=interpret,
+    )(params, chw)
+
+    out = jnp.moveaxis(out_chw, 1, -1)[:, :out_h, :out_w, :]
+
+    # cv2 BORDER_CONSTANT zero outside the source (original affine).
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    sx = (minv[:, 0, 0, None, None] * gx[None]
+          + minv[:, 0, 1, None, None] * gy[None]
+          + minv[:, 0, 2, None, None])
+    sy = (minv[:, 1, 0, None, None] * gx[None]
+          + minv[:, 1, 1, None, None] * gy[None]
+          + minv[:, 1, 2, None, None])
+    inside = ((sx > -1.0) & (sx < s_w) & (sy > -1.0) & (sy < s_dim))
+    out = out * inside[..., None].astype(jnp.float32)
+
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        out = jnp.round(out)
+        out = jnp.clip(out, jnp.iinfo(orig_dtype).min,
+                       jnp.iinfo(orig_dtype).max)
+    return out.astype(orig_dtype)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,31 +39,41 @@ class EpochMetrics:
         self.reset()
 
     def reset(self) -> None:
-        self.sums: Dict[str, float] = {}
+        # Accumulators stay as (lazy) device scalars — NO float() until
+        # snapshot(), so updating never forces a host sync (unlike the
+        # reference's per-step .cpu() metrics, train.py:67-73).
+        self.sums: Dict[str, Any] = {}
         self.count = 0
         self.pose_acc_weighted = 0.0
         self.pose_cnt = 0.0
-        self.conf = np.zeros((self.num_classes, self.num_classes))
+        self.conf = jnp.zeros((self.num_classes, self.num_classes))
 
-    def update(self, metrics: Dict) -> Dict[str, float]:
+    def update(self, metrics: Dict) -> None:
         self.count += 1
         for k in ("total_loss", "class_loss", "joints_loss", "cls_f1score"):
-            self.sums[k] = self.sums.get(k, 0.0) + float(metrics[k])
-        cnt = float(metrics["pose_cnt"])
+            self.sums[k] = self.sums.get(k, 0.0) + metrics[k]
+        cnt = metrics["pose_cnt"]
         # running pose acc mirrors the reference's manual accumulators
         # (train.py:89-90: total_acc += avg_acc * cnt; count += cnt)
-        self.pose_acc_weighted += float(metrics["pose_acc"]) * cnt
-        self.pose_cnt += cnt
-        self.conf += np.asarray(metrics["conf_update"])
-        return self.snapshot()
+        self.pose_acc_weighted = (
+            self.pose_acc_weighted + metrics["pose_acc"] * cnt)
+        self.pose_cnt = self.pose_cnt + cnt
+        self.conf = self.conf + metrics["conf_update"]
 
     def snapshot(self) -> Dict[str, float]:
-        out = {k: v / max(self.count, 1) for k, v in self.sums.items()}
+        out = {k: float(v) / max(self.count, 1)
+               for k, v in self.sums.items()}
+        pose_cnt = float(self.pose_cnt)
         out["pose_acc"] = (
-            self.pose_acc_weighted / self.pose_cnt if self.pose_cnt else 0.0)
-        out["epoch_f1"] = float(
-            macro_f1_from_confusion(jnp.asarray(self.conf)))
+            float(self.pose_acc_weighted) / pose_cnt if pose_cnt else 0.0)
+        out["epoch_f1"] = float(macro_f1_from_confusion(self.conf))
         return out
+
+
+class NonFiniteLossError(RuntimeError):
+    """Raised when the training loss becomes NaN/Inf (basic failure
+    detection — the reference has none at all, SURVEY.md §5.3; last/best
+    checkpoints on disk enable resume from before the blow-up)."""
 
 
 def train_epoch(
@@ -75,16 +85,26 @@ def train_epoch(
     logger: Optional[MetricLogger] = None,
     log_every: int = 50,
     prefix: str = "train",
+    nan_guard_every: int = 50,
 ) -> TrainState:
     for i, batch in enumerate(loader):
         batch.pop("valid", None)
         key, sub = jax.random.split(key)
         state, m = step_fn(
             state, {k: jnp.asarray(v) for k, v in batch.items()}, sub)
-        snap = metrics.update(m)
+        # Guard at logging cadence so the check doesn't force a sync
+        # every step.
+        if i % nan_guard_every == 0:
+            loss = float(m["total_loss"])
+            if not np.isfinite(loss):
+                raise NonFiniteLossError(
+                    f"non-finite loss {loss} at step {int(state.step)}; "
+                    "restore the 'last' checkpoint to resume")
+        metrics.update(m)
         if logger is not None and i % log_every == 0:
             logger.log(int(state.step),
-                       {f"{prefix}/{k}": v for k, v in snap.items()})
+                       {f"{prefix}/{k}": v
+                        for k, v in metrics.snapshot().items()})
     return state
 
 
@@ -162,7 +182,7 @@ def fit(
         test = eval_epoch(best_state, eval_step, test_loader, test_metrics)
         print("Test F1 Score: {:.4f}".format(test["epoch_f1"]))
         _save_confusion_png(
-            test_metrics.conf, list(data_cfg.names.keys()),
+            np.asarray(test_metrics.conf), list(data_cfg.names.keys()),
             os.path.join(save_path, "confusion_matrix.png"))
     logger.close()
     return state
