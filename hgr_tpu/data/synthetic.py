@@ -28,8 +28,13 @@ def make_hand_image(
     rng: np.random.RandomState,
     size: int = 224,
     num_joints: int = 21,
+    blob_color: Optional[Sequence[int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One synthetic crop: background gradient + joint blobs.
+
+    ``blob_color`` (BGR) keys the joint color; when the fixture derives it
+    from the class label the classification task becomes genuinely
+    learnable (used for convergence sanity runs).
 
     Returns (img uint8 (size, size, 3) BGR-ish, joints (J, 2) pixels).
     """
@@ -40,20 +45,23 @@ def make_hand_image(
         img[..., c] = np.clip(
             base[c] + 60 * yy + 40 * xx * rng.rand(), 0, 255).astype(np.uint8)
 
-    # wrist near lower center, fingers fan upward
-    wrist = np.array([size * (0.4 + 0.2 * rng.rand()),
-                      size * (0.6 + 0.2 * rng.rand())])
+    # The training pipeline crops the CENTRAL 0.35*max(h,w) window
+    # (reference libs/load.py:69-70), so the hand must fit inside the
+    # central ~30%: wrist near center, finger reach <= 0.1*size.
+    wrist = np.array([size * (0.47 + 0.06 * rng.rand()),
+                      size * (0.5 + 0.06 * rng.rand())])
     joints = np.zeros((num_joints, 2), np.float32)
     joints[0] = wrist
     for f, chain in enumerate(FINGER_CHAINS):
         angle = np.deg2rad(-90 + (f - 2) * 18 + rng.randn() * 5)
         direction = np.array([np.cos(angle), np.sin(angle)])
         for k, j in enumerate(chain[1:], start=1):
-            joints[j] = wrist + direction * size * 0.08 * k \
-                + rng.randn(2) * 1.5
+            joints[j] = wrist + direction * size * 0.025 * k \
+                + rng.randn(2) * 1.0
     joints = np.clip(joints, 2, size - 3)
 
-    color = rng.randint(120, 255, 3).tolist()
+    color = (list(blob_color) if blob_color is not None
+             else rng.randint(120, 255, 3).tolist())
     for j in range(num_joints):
         x, y = int(joints[j, 0]), int(joints[j, 1])
         r = 4
@@ -87,7 +95,11 @@ def write_synthetic_split(
     label_names = list(names.keys())
     annots = {}
     for i in range(num_images):
-        img, joints = make_hand_image(rng, image_size)
+        label_id = i % len(label_names)
+        # label-keyed blob color -> the class is recoverable from pixels
+        hue = label_id / max(len(label_names), 1)
+        blob = [int(60 + 195 * ((hue * 3 + k) % 1.0)) for k in range(3)]
+        img, joints = make_hand_image(rng, image_size, blob_color=blob)
         image_id = f"syn_{split}_{i:05d}"
         _write_jpeg(os.path.join(img_dir, image_id + ".jpg"), img)
         # Occasionally emit an empty landmark list (the reference format

@@ -1,0 +1,144 @@
+"""Coverage for vis/draw/profiling utils, config loading, and the
+extraction tool's pure logic."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_load_data_config(tmp_path):
+    from hgr_tpu.config import load_data_config
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        "path: /data\ntrain: annotations/train\nval: annotations/val\n"
+        "test: annotations/test\nnum_joints: 21\nnum_classes: 19\n"
+        "names:\n  call: 0\n  fist: 1\n"
+        "augments:\n  rotate_factor: 20\n  scale_factor: 0.35\n"
+        "  translate_factor: 0.02\n  horizontal_flip: true\n"
+        "  color_jittering: true\n")
+    cfg = load_data_config(str(cfg_path))
+    assert cfg.num_joints == 21
+    assert cfg.names["fist"] == 1
+    assert cfg.augments.rotate_factor == 20.0
+    assert cfg.augments.horizontal_flip is True
+    assert cfg.id_to_name[0] == "call"
+
+
+def test_calculate_iou():
+    from hgr_tpu.tools.extract_data import calculate_iou
+
+    assert calculate_iou([0, 0, 10, 10], [0, 0, 10, 10]) == 1.0
+    assert calculate_iou([0, 0, 10, 10], [20, 20, 5, 5]) == 0.0
+    iou = calculate_iou([0, 0, 10, 10], [5, 0, 10, 10])
+    np.testing.assert_allclose(iou, 50 / 150)
+
+
+def test_draw_bones_and_joints():
+    from hgr_tpu.utils.draw import draw_bones, draw_joints
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(21, 2) * 60 + 2).astype(np.int32)
+    out = draw_bones(img.copy(), pts)
+    out = draw_joints(out, pts)
+    assert out.sum() > 0  # something was drawn
+    assert out.shape == img.shape
+
+
+def test_save_debug_images(tmp_path):
+    from hgr_tpu.utils.vis import save_debug_images
+
+    rng = np.random.RandomState(0)
+    b, j = 4, 21
+    outputs = {
+        "image": rng.randn(b, 64, 64, 3).astype(np.float32) * 0.5,
+        "label": rng.randint(0, 19, (b,)),
+        "pred_label": rng.randint(0, 19, (b,)),
+        "joints": rng.rand(b, j, 2).astype(np.float32) * 64,
+        "target_weight": np.ones((b, j), np.float32),
+        "target": rng.rand(b, j, 16, 16).astype(np.float32),
+        "heatmap": rng.rand(b, j, 16, 16).astype(np.float32),
+        "attnmap": rng.rand(b, 8, 17, 17).astype(np.float32),
+    }
+    prefix = str(tmp_path / "dbg")
+    save_debug_images(outputs, prefix, with_attention=True)
+    for suffix in ("_gt.jpg", "_pred.jpg", "_hm_gt.jpg", "_hm_pred.jpg",
+                   "_attn.jpg"):
+        assert os.path.isfile(prefix + suffix), suffix
+        assert os.path.getsize(prefix + suffix) > 0
+
+
+def test_step_timer_and_flops():
+    from hgr_tpu.utils.profiling import StepTimer, flops_of
+
+    t = StepTimer()
+    for _ in range(5):
+        with t.step():
+            pass
+    s = t.summary()
+    assert s["steps"] == 5 and s["p50_ms"] >= 0
+
+    f = flops_of(lambda x: x @ x, jnp.zeros((64, 64)))
+    if f is not None:  # cost analysis availability varies by backend
+        assert f > 0
+
+
+def test_display_data_headless(tmp_path):
+    """The inspection tool writes contact sheets through the real train
+    pipeline."""
+    import yaml
+
+    from hgr_tpu.config import DEFAULT_NAMES
+    from hgr_tpu.data.synthetic import write_synthetic_split
+    from hgr_tpu.tools.display_data import display_data
+
+    root = str(tmp_path / "ds")
+    write_synthetic_split(root, "train", 8, image_size=96, seed=0)
+    cfg = {"path": root, "train": "annotations/train",
+           "val": "annotations/train", "test": "annotations/train",
+           "num_joints": 21, "num_classes": 19,
+           "names": dict(DEFAULT_NAMES),
+           "augments": {"rotate_factor": 10, "scale_factor": 0.2,
+                        "translate_factor": 0.02, "horizontal_flip": True,
+                        "color_jittering": True}}
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    out_dir = str(tmp_path / "sheets")
+    n = display_data(cfg_path, out_dir, image_size=(64, 64), batch_size=4,
+                     num_batches=1)
+    assert n == 4
+    assert len(os.listdir(out_dir)) == 4
+
+
+def test_nan_guard():
+    from hgr_tpu.train.loop import NonFiniteLossError, train_epoch
+    from hgr_tpu.train.loop import EpochMetrics
+
+    class FakeLoader:
+        def __iter__(self):
+            yield {"x": np.zeros(1)}
+
+    def bad_step(state, batch, key):
+        return state, {
+            "total_loss": jnp.asarray(float("nan")),
+            "class_loss": jnp.asarray(0.0),
+            "joints_loss": jnp.asarray(0.0),
+            "cls_f1score": jnp.asarray(0.0),
+            "pose_acc": jnp.asarray(0.0),
+            "pose_cnt": jnp.asarray(0),
+            "conf_update": jnp.zeros((19, 19)),
+        }
+
+    class FakeState:
+        step = jnp.asarray(7)
+
+    with pytest.raises(NonFiniteLossError):
+        train_epoch(FakeState(), bad_step, FakeLoader(),
+                    jax.random.PRNGKey(0), EpochMetrics(19))
