@@ -48,6 +48,9 @@ def parse_args():
     parser.add_argument('--canvas_size', type=int, default=256)
     parser.add_argument('--resume', action='store_true',
                         help='resume from last checkpoint if present')
+    parser.add_argument('--host_device_count', type=int, default=0,
+                        help='simulate N virtual CPU devices (mesh testing '
+                             'without hardware)')
     return parser.parse_args()
 
 
@@ -56,7 +59,17 @@ def main():
     assert args.image_size[0] == args.image_size[1], \
         "Only support square images for now."
 
+    if args.host_device_count:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.host_device_count}").strip()
+
     import jax
+
+    if args.host_device_count:
+        jax.config.update("jax_platforms", "cpu")
 
     from hgr_tpu.config import ModelConfig, TrainConfig, load_data_config
     from hgr_tpu.data.dataset import read_annotations
@@ -117,6 +130,8 @@ def main():
             state = ckpt.restore(state, "last")
             print(f"resumed from step {int(state.step)}")
 
+    mesh = None
+    tensor_parallel = False
     if args.mesh:
         from hgr_tpu.parallel.mesh import make_mesh
         from hgr_tpu.parallel.steps import shard_state
@@ -124,16 +139,14 @@ def main():
         shape = {k: int(v) for k, v in
                  (kv.split('=') for kv in args.mesh.split(','))}
         mesh = make_mesh(shape)
-        state = shard_state(state, mesh, tensor_parallel='model' in shape)
+        tensor_parallel = 'model' in shape
+        state = shard_state(state, mesh, tensor_parallel)
         print(f"mesh: {shape}")
-        # NOTE: fit() uses the single-jit path; under a mesh the same
-        # step functions compile with sharded inputs via shard_batch in
-        # the loop (XLA handles the collectives).
 
     print(f"{len(train_idx)} train samples, {steps_per_epoch} steps/epoch")
     fit(model_cfg, train_cfg, data_cfg, state, train_loader, val_loader,
         test_loader, save_path=save_path, log_dir=args.log_dir,
-        run_name=model_name)
+        run_name=model_name, mesh=mesh, tensor_parallel=tensor_parallel)
 
 
 if __name__ == "__main__":

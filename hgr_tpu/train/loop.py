@@ -134,8 +134,16 @@ def fit(
     log_dir: str = "logs",
     run_name: str = "run",
     debug_dump: Optional[Callable] = None,
+    mesh=None,
+    tensor_parallel: bool = False,
 ) -> TrainState:
-    """Full fit + test (reference train.py:190-240)."""
+    """Full fit + test (reference train.py:190-240).
+
+    With ``mesh``, the steps jit with explicit shardings (batch on 'data',
+    params replicated or ViT tensor-parallel) and every host batch is
+    device_put with the batch sharding — the state must already be sharded
+    (parallel.steps.shard_state).
+    """
     num_classes = data_cfg.num_classes
     aug = data_cfg.augments
 
@@ -143,8 +151,32 @@ def fit(
         num_classes=num_classes, sigma=train_cfg.sigma,
         image_size=model_cfg.image_size,
         heatmap_size=model_cfg.heatmap_size)
-    train_step = make_train_step(aug, **step_kw)
-    eval_step = make_eval_step(**step_kw)
+    if mesh is not None:
+        from hgr_tpu.parallel.mesh import shard_batch
+        from hgr_tpu.parallel.steps import (
+            make_parallel_eval_step,
+            make_parallel_train_step,
+        )
+
+        p_train = make_parallel_train_step(
+            mesh, aug, state, tensor_parallel=tensor_parallel, **step_kw)
+        p_eval = make_parallel_eval_step(
+            mesh, state, tensor_parallel=tensor_parallel, **step_kw)
+
+        def train_step(st, batch, key):
+            with mesh:
+                sb = shard_batch(batch, mesh)
+                key = jax.device_put(
+                    key, jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec()))
+                return p_train(st, sb, key)
+
+        def eval_step(st, batch):
+            with mesh:
+                return p_eval(st, shard_batch(batch, mesh))
+    else:
+        train_step = make_train_step(aug, **step_kw)
+        eval_step = make_eval_step(**step_kw)
 
     logger = MetricLogger(log_dir, run_name)
     ckpt = CheckpointManager(os.path.join(save_path, "weight"))
