@@ -51,6 +51,10 @@ def parse_args():
     parser.add_argument('--host_device_count', type=int, default=0,
                         help='simulate N virtual CPU devices (mesh testing '
                              'without hardware)')
+    parser.add_argument('--debug_images', action='store_true',
+                        help='dump GT/pred/heatmap/attention image grids '
+                             'for one val batch each epoch (reference '
+                             'train.py:148-174 behavior)')
     return parser.parse_args()
 
 
@@ -143,10 +147,33 @@ def main():
         state = shard_state(state, mesh, tensor_parallel)
         print(f"mesh: {shape}")
 
+    debug_dump = None
+    if args.debug_images and mesh is None:
+        import jax.numpy as jnp
+
+        from hgr_tpu.train.steps import make_eval_step
+        from hgr_tpu.utils.vis import save_debug_images
+
+        dbg_step = make_eval_step(
+            num_classes=data_cfg.num_classes, sigma=float(args.sigma),
+            image_size=image_size,
+            heatmap_size=model_cfg.heatmap_size, return_outputs=True)
+        dbg_batch = next(iter(val_loader))
+        dbg_batch.pop("valid", None)
+        dbg_jnp = {k: jnp.asarray(v) for k, v in dbg_batch.items()}
+
+        def debug_dump(state, epoch):
+            _, outputs = dbg_step(state, dbg_jnp)
+            prefix = os.path.join(save_path, f"val_{epoch}")
+            save_debug_images(
+                {k: v for k, v in outputs.items()}, prefix,
+                with_attention=True)
+
     print(f"{len(train_idx)} train samples, {steps_per_epoch} steps/epoch")
     fit(model_cfg, train_cfg, data_cfg, state, train_loader, val_loader,
         test_loader, save_path=save_path, log_dir=args.log_dir,
-        run_name=model_name, mesh=mesh, tensor_parallel=tensor_parallel)
+        run_name=model_name, mesh=mesh, tensor_parallel=tensor_parallel,
+        debug_dump=debug_dump)
 
 
 if __name__ == "__main__":
