@@ -82,16 +82,23 @@ def main() -> None:
         run = lambda: fwd(x)
         metric_name = "classify+pose crops/sec/chip @192x192"
 
+    def sync(out):
+        # jax.block_until_ready is a no-op for remote-tunneled arrays in
+        # some environments (axon); a scalar host transfer is a reliable
+        # barrier.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf).astype(jnp.float32))
+
     # Warmup (compile)
     for _ in range(args.warmup):
         out = run()
-    jax.block_until_ready(out)
+    sync(out)
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
         out = run()
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.perf_counter() - t0)
 
     med = float(np.median(times))

@@ -22,17 +22,29 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, iters=20, warmup=3):
-    import jax
+def _sync(out):
+    """Force a real device sync: pull one scalar to host.
 
+    jax.block_until_ready is a no-op for remote-tunneled device arrays in
+    some environments (observed on the axon platform) — a host transfer
+    is the only reliable barrier.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf).astype(jnp.float32))
+
+
+def _timeit(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -114,11 +126,11 @@ def main() -> None:
         s = state
         for _ in range(3):
             s, m = step(s, batch, key)
-        jax.block_until_ready(m["total_loss"])
+        _sync(m["total_loss"])
         for _ in range(args.iters):
             t0 = time.perf_counter()
             s, m = step(s, batch, key)
-            jax.block_until_ready(m["total_loss"])
+            _sync(m["total_loss"])
             times.append(time.perf_counter() - t0)
         med = float(np.median(times))
         emit("train step (augment+fwd+bwd+AdamW)", B / med, "crops/s",
@@ -135,12 +147,17 @@ def main() -> None:
         pipe = HandGesturePipeline(
             variables, load_detector_weights(""), DEFAULT_NAMES,
             score_thresh=-1.0)
-        frame = rng.randint(0, 255, (360, 640, 3)).astype(np.uint8)
-        fn = pipe._compiled(360, 640)
-        jframe = jnp.asarray(frame)
-        med = _timeit(fn, jframe, iters=args.iters)
+        frame = rng.randint(0, 255, (1, 360, 640, 3)).astype(np.uint8)
+        fn = pipe._compiled(360, 640, 1)
+        med = _timeit(fn, jnp.asarray(frame), iters=args.iters)
         emit("e2e frame detect->crop->classify p50", med * 1e3, "ms",
              fps=round(1 / med, 1))
+
+        frames16 = rng.randint(0, 255, (16, 360, 640, 3)).astype(np.uint8)
+        fn16 = pipe._compiled(360, 640, 16)
+        med16 = _timeit(fn16, jnp.asarray(frames16), iters=args.iters)
+        emit("e2e batched-16 video throughput", 16 / med16, "frames/s",
+             batch_ms=round(med16 * 1e3, 3))
 
     if 5 in configs:
         from hgr_tpu.parallel.mesh import make_mesh, shard_batch
@@ -181,12 +198,12 @@ def main() -> None:
                 s = state
                 for _ in range(3):
                     s, m = pstep(s, sb, key)
-                jax.block_until_ready(m["total_loss"])
+                _sync(m["total_loss"])
                 times = []
                 for _ in range(args.iters):
                     t0 = time.perf_counter()
                     s, m = pstep(s, sb, key)
-                    jax.block_until_ready(m["total_loss"])
+                    _sync(m["total_loss"])
                     times.append(time.perf_counter() - t0)
             med = float(np.median(times))
             emit("data-parallel train step", B / med, "crops/s",

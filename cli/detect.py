@@ -33,6 +33,9 @@ def main():
     parser.add_argument('--score_thresh', type=float, default=0.2)
     parser.add_argument('--dtype', type=str, default='bfloat16',
                         choices=['bfloat16', 'float32'])
+    parser.add_argument('--batch_frames', type=int, default=1,
+                        help='batch N frames per device call (offline '
+                             'throughput mode)')
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -58,7 +61,8 @@ def main():
         cls_img_size=tuple(args.cls_img_size),
         score_thresh=args.score_thresh, dtype=dtype)
 
-    n = detect_to_video(pipeline, args.data_path, args.save_path)
+    n = detect_to_video(pipeline, args.data_path, args.save_path,
+                        batch_frames=args.batch_frames)
     print(f"processed {n} frames -> {args.save_path}")
 
 

@@ -76,45 +76,50 @@ class HandGesturePipeline:
         self.id_to_name = {v: k for k, v in class_names.items()}
 
     @functools.lru_cache(maxsize=8)
-    def _compiled(self, frame_h: int, frame_w: int):
-        """Build + jit the fused graph for one frame geometry."""
+    def _compiled(self, frame_h: int, frame_w: int, batch: int = 1):
+        """Build + jit the fused graph for one frame geometry.
+
+        Batched over frames: the reference is strictly frame-serial
+        (detect.py:179-205 with two host<->ORT hops per frame); here a
+        whole clip of identical-geometry frames runs as one device batch.
+        """
         det = self.det_img_size
         r, dw, dh, uw, uh = letterbox_params(frame_h, frame_w, det)
         top = int(round(dh - 0.1))
+        bottom = det - uh - top
         left = int(round(dw - 0.1))
+        right = det - uw - left
         cls_h, cls_w = self.cls_img_size
 
-        def run(frame_bgr_u8: Array):
-            frame = frame_bgr_u8.astype(jnp.float32)  # (H, W, 3) BGR
+        def run(frames_bgr_u8: Array):
+            frames = frames_bgr_u8.astype(jnp.float32)  # (B, H, W, 3)
 
             # --- detection pre-process (RGB, letterbox, /255) ---
-            rgb = frame[..., ::-1]
+            rgb = frames[..., ::-1]
             resized = resize_bilinear(rgb, (uh, uw))
-            canvas = jnp.full((det, det, 3), 114.0)
-            canvas = jax.lax.dynamic_update_slice(
-                canvas, resized, (top, left, 0))
-            det_in = (canvas / 255.0)[None]
+            canvas = jnp.pad(
+                resized,
+                ((0, 0), (top, bottom), (left, right), (0, 0)),
+                constant_values=114.0)
+            det_in = canvas / 255.0
 
             outs = self.detector.apply(self.det_vars, det_in, train=False)
             decoded = decode_predictions(outs, num_classes=1)
-            boxes, scores = best_box(decoded)
-            box = boxes[0]  # (4,) xyxy in letterbox coords
-            score = scores[0]
+            boxes, scores = best_box(decoded)  # (B, 4), (B,)
 
             # --- un-letterbox + square expand (detect.py:130-138) ---
-            box = box - jnp.array([dw, dh, dw, dh])
-            box = box / r
-            box = jnp.round(box)
-            side = jnp.maximum(box[2] - box[0], box[3] - box[1])
-            cx = (box[0] + box[2]) / 2.0
-            cy = (box[1] + box[3]) / 2.0
-            corner = jnp.stack([cx - side / 2.0, cy - side / 2.0])
+            boxes = jnp.round((boxes - jnp.array([dw, dh, dw, dh])) / r)
+            side = jnp.maximum(boxes[:, 2] - boxes[:, 0],
+                               boxes[:, 3] - boxes[:, 1])
+            cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+            cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+            corner = jnp.stack([cx - side / 2.0, cy - side / 2.0], axis=-1)
 
             # --- classification crop (detect.py:92-117) ---
             m = build_affine(
-                jnp.stack([cx, cy]), 1.0, 0.0, side,
-                (float(cls_w), float(cls_h)))
-            crop = batched_affine_warp(frame[None], m[None], (cls_h, cls_w))
+                jnp.stack([cx, cy], axis=-1), jnp.ones_like(side),
+                jnp.zeros_like(side), side, (float(cls_w), float(cls_h)))
+            crop = batched_affine_warp(frames, m, (cls_h, cls_w))
             crop = crop / 255.0
             mean = jnp.asarray(IMAGENET_MEAN)
             std = jnp.asarray(IMAGENET_STD)
@@ -122,32 +127,46 @@ class HandGesturePipeline:
 
             logits, hmap, _ = self.classifier.apply(
                 self.cls_vars, cls_in, train=False)
-            label = jnp.argmax(logits[0])
+            labels = jnp.argmax(logits, axis=-1)  # (B,)
             hmap_nchw = heatmaps_to_nchw(hmap)
-            lm, _ = get_max_preds(hmap_nchw)
-            lm = lm[0]  # (J, 2) in heatmap pixels
+            lm, _ = get_max_preds(hmap_nchw)  # (B, J, 2)
             hm_h, hm_w = hmap_nchw.shape[-2:]
-            lm = lm / jnp.array([hm_w, hm_h]) * side + corner
+            lm = (lm / jnp.array([hm_w, hm_h]) * side[:, None, None]
+                  + corner[:, None, :])
 
-            return label, score, box, lm
+            return labels, scores, boxes, lm
 
         return jax.jit(run)
 
     def infer_frame(self, frame_bgr: np.ndarray):
         """Run one (H, W, 3) BGR uint8 frame. Returns dict or None when
         the detection score fails the 0.2 gate (reference detect.py:140)."""
-        h, w = frame_bgr.shape[:2]
-        fn = self._compiled(h, w)
-        label, score, box, lm = fn(jnp.asarray(frame_bgr))
-        if float(score) <= self.score_thresh:
-            return None
-        return {
-            "label": int(label),
-            "label_name": self.id_to_name.get(int(label), str(int(label))),
-            "score": float(score),
-            "box": np.asarray(box, np.int32),
-            "landmarks": np.asarray(lm, np.int32),
-        }
+        return self.infer_frames(frame_bgr[None])[0]
+
+    def infer_frames(self, frames_bgr: np.ndarray):
+        """Run a (B, H, W, 3) batch of BGR uint8 frames. Returns a list of
+        per-frame dicts (None where the score gate fails)."""
+        b, h, w = frames_bgr.shape[:3]
+        fn = self._compiled(h, w, b)
+        labels, scores, boxes, lms = fn(jnp.asarray(frames_bgr))
+        labels = np.asarray(labels)
+        scores = np.asarray(scores)
+        boxes = np.asarray(boxes, np.int32)
+        lms = np.asarray(lms, np.int32)
+        results = []
+        for i in range(b):
+            if scores[i] <= self.score_thresh:
+                results.append(None)
+                continue
+            results.append({
+                "label": int(labels[i]),
+                "label_name": self.id_to_name.get(
+                    int(labels[i]), str(int(labels[i]))),
+                "score": float(scores[i]),
+                "box": boxes[i],
+                "landmarks": lms[i],
+            })
+        return results
 
     def annotate(self, frame_bgr: np.ndarray, result) -> np.ndarray:
         """Draw skeleton + bbox + label (reference detect.py:159-167)."""
@@ -206,20 +225,40 @@ def detect_to_video(
     save_path: str,
     fps: float = 30.0,
     out_size: Tuple[int, int] = (640, 360),
+    batch_frames: int = 1,
 ) -> int:
     """Process a video/images into an annotated mp4
-    (reference detect.py:171-207). Returns frames processed."""
+    (reference detect.py:171-207). ``batch_frames`` > 1 batches
+    same-geometry frames through the device graph (offline throughput
+    mode — the reference is strictly frame-serial). Returns frames
+    processed."""
     import cv2
 
     writer = cv2.VideoWriter(
         save_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, out_size)
     n = 0
+
+    def flush(chunk):
+        nonlocal n
+        if not chunk:
+            return
+        results = pipeline.infer_frames(np.stack(chunk))
+        for frame, result in zip(chunk, results):
+            frame = pipeline.annotate(frame, result)
+            if (frame.shape[1], frame.shape[0]) != out_size:
+                frame = cv2.resize(frame, out_size)
+            writer.write(frame)
+            n += 1
+
+    chunk = []
     for frame in iter_frames(data_path):
-        result = pipeline.infer_frame(frame)
-        frame = pipeline.annotate(frame, result)
-        if (frame.shape[1], frame.shape[0]) != out_size:
-            frame = cv2.resize(frame, out_size)
-        writer.write(frame)
-        n += 1
+        if chunk and frame.shape != chunk[0].shape:
+            flush(chunk)
+            chunk = []
+        chunk.append(frame)
+        if len(chunk) >= batch_frames:
+            flush(chunk)
+            chunk = []
+    flush(chunk)
     writer.release()
     return n
