@@ -74,6 +74,9 @@ class BatchLoader:
         self.prefetch = prefetch
         self._epoch = 0
         self._labels = index.labels()
+        self._pool = (
+            concurrent.futures.ThreadPoolExecutor(self.num_workers)
+            if self.num_workers > 1 else None)
 
     def __len__(self) -> int:
         n = len(self.index)
@@ -111,9 +114,8 @@ class BatchLoader:
         if self._native_batch(ids, batch):
             batch["valid"] = np.int32(valid)
             return batch
-        if self.num_workers > 1:
-            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
-                results = list(ex.map(self._load_one, ids))
+        if self._pool is not None:
+            results = list(self._pool.map(self._load_one, ids))
         else:
             results = [self._load_one(i) for i in ids]
         for k, (canvas, affine, (h, w), joints, vis, label) in enumerate(
