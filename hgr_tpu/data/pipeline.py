@@ -237,12 +237,12 @@ def apply_augment_batch(
     m_canvas = compose_affine(m_orig, invert_affine(orig_to_canvas))
 
     # HSV jitter (pointwise; commutes with the warp) then ONE warp.
-    img = canvas.astype(jnp.float32)
-    jittered = hsv_jitter(img, params.jitter_gains)
-    img = jnp.where(params.do_jitter[:, None, None, None] > 0, jittered, img)
     # 'auto': exact 4-tap gather on CPU (golden-parity); on TPU the
-    # Pallas two-pass kernel (ops/warp_pallas.py) — the XLA per-element
-    # gather is ~30x slower there (1062ms vs 35ms for 512x256x256).
+    # Pallas two-pass kernel (ops/warp_pallas.py) with the jitter FUSED
+    # into the same VMEM pass — the XLA per-element gather is ~30x
+    # slower there (1062ms vs 35ms for 512x256x256) and the standalone
+    # jitter costs another ~43ms canvas round-trip.
+    img = canvas.astype(jnp.float32)
     if warp_method == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         s = canvas.shape[1]
@@ -251,11 +251,18 @@ def apply_augment_batch(
     if warp_method == "pallas":
         from hgr_tpu.ops.warp_pallas import warp_twopass_pallas
 
-        crop = warp_twopass_pallas(img, m_canvas, (out_h, out_w))
-    elif warp_method == "twopass":
-        crop = batched_affine_warp_twopass(img, m_canvas, (out_h, out_w))
+        crop = warp_twopass_pallas(
+            img, m_canvas, (out_h, out_w),
+            jitter_gains=params.jitter_gains, do_jitter=params.do_jitter)
     else:
-        crop = batched_affine_warp(img, m_canvas, (out_h, out_w))
+        jittered = hsv_jitter(img, params.jitter_gains)
+        img = jnp.where(
+            params.do_jitter[:, None, None, None] > 0, jittered, img)
+        if warp_method == "twopass":
+            crop = batched_affine_warp_twopass(img, m_canvas,
+                                               (out_h, out_w))
+        else:
+            crop = batched_affine_warp(img, m_canvas, (out_h, out_w))
     # cv2.warpAffine on uint8 rounds; reproduce before normalizing.
     crop = jnp.round(jnp.clip(crop, 0.0, 255.0))
     if normalize:

@@ -65,13 +65,59 @@ def _chunked_lane_gather(panels, idx):
     return out
 
 
-def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int):
-    """One (image, channel): img_ref (1, 1, S, S) -> out_ref (1, 1, S, S).
+def _hsv_jitter_planes(b, g, r, gh, gs, gv):
+    """HSV LUT jitter on three (S, S) channel planes (cv2 8-bit
+    conventions; mirrors ops/color.py:hsv_jitter for in-kernel fusion)."""
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = v - mn
+    safe_c = jnp.where(c > 0, c, 1.0)
+    h_r = 30.0 * (g - b) / safe_c
+    h_g = 60.0 + 30.0 * (b - r) / safe_c
+    h_b = 120.0 + 30.0 * (r - g) / safe_c
+    h = jnp.where(v == r, h_r, jnp.where(v == g, h_g, h_b))
+    h = jnp.where(c > 0, h, 0.0)
+    h = jnp.where(h < 0, h + 180.0, h)
+    s = jnp.where(v > 0, 255.0 * c / jnp.where(v > 0, v, 1.0), 0.0)
 
-    ``params_ref`` is the whole (B, 6) array scalar-prefetched into SMEM
-    (PrefetchScalarGridSpec); rows indexed by the image grid axis."""
+    # uint8 LUT semantics: round the stored HSV, scale, floor.
+    h = jnp.floor(jnp.mod(jnp.round(h) * gh, 180.0))
+    s = jnp.floor(jnp.clip(jnp.round(s) * gs, 0.0, 255.0))
+    v = jnp.floor(jnp.clip(jnp.round(v) * gv, 0.0, 255.0))
+
+    h_deg = h * 2.0
+    s01 = s / 255.0
+    cc = v * s01
+    hp = h_deg / 60.0
+    x = cc * (1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0))
+    m = v - cc
+    sector = jnp.floor(hp).astype(jnp.int32) % 6
+    zero = jnp.zeros_like(cc)
+
+    def pick(v0, v1, v2, v3, v4, v5):
+        # nested selects (jnp.select lowers to an argmax Mosaic lacks)
+        return jnp.where(
+            sector == 0, v0, jnp.where(
+                sector == 1, v1, jnp.where(
+                    sector == 2, v2, jnp.where(
+                        sector == 3, v3, jnp.where(
+                            sector == 4, v4, v5)))))
+
+    r2 = pick(cc, x, zero, zero, x, cc)
+    g2 = pick(x, cc, cc, x, zero, zero)
+    b2 = pick(zero, zero, x, cc, cc, x)
+    clip255 = lambda t: jnp.round(jnp.clip(t, 0.0, 255.0))
+    return clip255(b2 + m), clip255(g2 + m), clip255(r2 + m)
+
+
+def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int,
+                 with_jitter: bool):
+    """One image: img_ref (1, 3, S, S) -> out_ref (1, 3, S, S).
+
+    ``params_ref`` is the whole (B, 10) array scalar-prefetched into SMEM
+    (PrefetchScalarGridSpec); rows indexed by the image grid axis.
+    Columns: alpha beta gamma s2 t2 u2 gh gs gv do_jitter."""
     i = pl.program_id(0)
-    img = img_ref[0, 0]  # (S, S) f32
     alpha = params_ref[i, 0]
     beta = params_ref[i, 1]
     gamma = params_ref[i, 2]
@@ -79,6 +125,25 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int):
     t2 = params_ref[i, 4]
     u2 = params_ref[i, 5]
 
+    bch = img_ref[0, 0]
+    gch = img_ref[0, 1]
+    rch = img_ref[0, 2]
+    if with_jitter:
+        jb, jg, jr = _hsv_jitter_planes(
+            bch, gch, rch, params_ref[i, 6], params_ref[i, 7],
+            params_ref[i, 8])
+        do_j = params_ref[i, 9] > 0.0
+        bch = jnp.where(do_j, jb, bch)
+        gch = jnp.where(do_j, jg, gch)
+        rch = jnp.where(do_j, jr, rch)
+
+    for ch_idx, img in enumerate((bch, gch, rch)):
+        _warp_one_channel(img, out_ref, ch_idx, alpha, beta, gamma, s2, t2,
+                          u2, s_dim)
+
+
+def _warp_one_channel(img, out_ref, ch_idx, alpha, beta, gamma, s2, t2, u2,
+                      s_dim):
     n_panels = s_dim // LANE
     src_panels = [img[:, p * LANE:(p + 1) * LANE] for p in range(n_panels)]
 
@@ -115,21 +180,28 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int):
         bot = _chunked_lane_gather(ht_panels, y1i)
         out_chunks.append(top * (1.0 - fy) + bot * fy)
     out_t = jnp.concatenate(out_chunks, axis=1)  # (S, S): out[x', y']
-    out_ref[0, 0] = out_t.T
+    out_ref[0, ch_idx] = out_t.T
 
 
 def warp_twopass_pallas(
-    images: Array,  # (B, S, S, C) float32
+    images: Array,  # (B, S, S, 3) float32 BGR
     m: Array,  # (B, 2, 3) src->dst affine
     out_size: Tuple[int, int],
     interpret: bool = False,
+    jitter_gains: Array = None,  # (B, 3) HSV gains, fused when given
+    do_jitter: Array = None,  # (B,) {0., 1.}
 ) -> Array:
-    """Pallas-accelerated two-pass warp. Same contract as
-    ops.warp.batched_affine_warp_twopass (square canvas, S % 128 == 0)."""
+    """Pallas-accelerated two-pass warp, optionally fusing the HSV jitter
+    (reference libs/augmentations.py:22-45) into the same VMEM pass —
+    the standalone device jitter costs another full canvas HBM round
+    trip (~43 ms at 512x256x256). Same contract as
+    ops.warp.batched_affine_warp_twopass (square canvas, S % 128 == 0,
+    3 channels)."""
     out_h, out_w = int(out_size[0]), int(out_size[1])
     b, s_dim, s_w, c = images.shape
     assert s_dim == s_w and s_dim % LANE == 0, (
         "canvas must be square with side a multiple of 128")
+    assert c == 3, "fused warp expects 3-channel BGR images"
     orig_dtype = images.dtype
     imgs = images.astype(jnp.float32)
 
@@ -150,20 +222,33 @@ def warp_twopass_pallas(
     alpha = p - q * s2 / safe_t
     beta = q / safe_t
     gamma = r - q * u2 / safe_t
-    params = jnp.stack([alpha, beta, gamma, s2, t2, u2], axis=-1)  # (B, 6)
 
-    chw = jnp.moveaxis(imgs_sel, -1, 1)  # (B, C, S, S)
+    with_jitter = jitter_gains is not None
+    if with_jitter:
+        dj = (jnp.ones((b,)) if do_jitter is None
+              else jnp.asarray(do_jitter, jnp.float32))
+        params = jnp.concatenate(
+            [jnp.stack([alpha, beta, gamma, s2, t2, u2], axis=-1),
+             jnp.asarray(jitter_gains, jnp.float32), dj[:, None]],
+            axis=-1)  # (B, 10)
+    else:
+        params = jnp.concatenate(
+            [jnp.stack([alpha, beta, gamma, s2, t2, u2], axis=-1),
+             jnp.zeros((b, 4))], axis=-1)  # (B, 10)
 
-    kernel = functools.partial(_warp_kernel, s_dim=s_dim)
+    chw = jnp.moveaxis(imgs_sel, -1, 1)  # (B, 3, S, S)
+
+    kernel = functools.partial(_warp_kernel, s_dim=s_dim,
+                               with_jitter=with_jitter)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, c),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, s_dim, s_dim),
-                         lambda i, j, params: (i, j, 0, 0)),
+            pl.BlockSpec((1, 3, s_dim, s_dim),
+                         lambda i, params: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, s_dim, s_dim),
-                               lambda i, j, params: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, 3, s_dim, s_dim),
+                               lambda i, params: (i, 0, 0, 0)),
     )
     out_chw = pl.pallas_call(
         kernel,

@@ -42,3 +42,32 @@ def test_pallas_warp_uint8_roundtrip():
     got = np.asarray(warp_pallas.warp_twopass_pallas(
         jnp.asarray(imgs), m, (128, 128), interpret=True))
     np.testing.assert_array_equal(got, imgs)
+
+
+def test_pallas_fused_jitter_matches_xla_chain():
+    """jitter fused in-kernel == hsv_jitter -> twopass warp in XLA."""
+    from hgr_tpu.ops.color import hsv_jitter
+
+    b, s = 2, 128
+    imgs = RNG.randint(0, 255, (b, s, s, 3)).astype(np.float32)
+    m = build_affine(
+        jnp.tile(jnp.asarray([64.0, 64.0]), (b, 1)),
+        jnp.full((b,), 1.1), jnp.full((b,), 20.0),
+        jnp.full((b,), 44.8), (96, 96))
+    gains = jnp.asarray([[1.01, 1.3, 0.8], [0.99, 0.7, 1.2]], jnp.float32)
+    do_j = jnp.asarray([1.0, 0.0])
+
+    jit_imgs = np.asarray(hsv_jitter(jnp.asarray(imgs), gains))
+    mixed = np.where(np.asarray(do_j)[:, None, None, None] > 0,
+                     jit_imgs, imgs)
+    ref = np.asarray(batched_affine_warp_twopass(
+        jnp.asarray(mixed), m, (96, 96)))
+
+    got = np.asarray(warp_pallas.warp_twopass_pallas(
+        jnp.asarray(imgs), m, (96, 96), interpret=True,
+        jitter_gains=gains, do_jitter=do_j))
+    # float op-order can flip the LUT floor() bin at a handful of pixels
+    # (sub-1-level differences); require near-exactness elsewhere.
+    diff = np.abs(got - ref)
+    assert diff.max() <= 1.0 + 1e-5, diff.max()
+    assert (diff > 0.02).mean() < 0.01, (diff > 0.02).mean()
