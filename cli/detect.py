@@ -36,6 +36,9 @@ def main():
     parser.add_argument('--batch_frames', type=int, default=1,
                         help='batch N frames per device call (offline '
                              'throughput mode)')
+    parser.add_argument('--show', action='store_true',
+                        help='interactive preview window (reference '
+                             "detect.py behavior; 'q' quits)")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -62,7 +65,7 @@ def main():
         score_thresh=args.score_thresh, dtype=dtype)
 
     n = detect_to_video(pipeline, args.data_path, args.save_path,
-                        batch_frames=args.batch_frames)
+                        batch_frames=args.batch_frames, show=args.show)
     print(f"processed {n} frames -> {args.save_path}")
 
 

@@ -34,6 +34,9 @@ def parse_args():
                         default=[192, 192],
                         help='image size (only square supported)')
     parser.add_argument('--sigma', type=int, default=2)
+    parser.add_argument('--class_loss_weight', type=float, default=0.001,
+                        help='classification loss weight (reference '
+                             'hard-codes 0.001, train.py:63)')
     parser.add_argument('--log_dir', type=str, default='logs')
     parser.add_argument('--save_dir', type=str, default='output')
     parser.add_argument('--num_workers', type=int, default=8)
@@ -100,6 +103,7 @@ def main():
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
         lr_step=tuple(args.lr_step), lr_factor=args.lr_factor,
         sigma=float(args.sigma), seed=args.seed,
+        class_loss_weight=args.class_loss_weight,
         num_workers=args.num_workers, log_dir=args.log_dir,
         save_dir=args.save_dir, canvas_size=args.canvas_size,
     )

@@ -226,6 +226,7 @@ def detect_to_video(
     fps: float = 30.0,
     out_size: Tuple[int, int] = (640, 360),
     batch_frames: int = 1,
+    show: bool = False,
 ) -> int:
     """Process a video/images into an annotated mp4
     (reference detect.py:171-207). ``batch_frames`` > 1 batches
@@ -238,8 +239,10 @@ def detect_to_video(
         save_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, out_size)
     n = 0
 
+    stop = False
+
     def flush(chunk):
-        nonlocal n
+        nonlocal n, stop
         if not chunk:
             return
         results = pipeline.infer_frames(np.stack(chunk))
@@ -249,9 +252,17 @@ def detect_to_video(
                 frame = cv2.resize(frame, out_size)
             writer.write(frame)
             n += 1
+            if show:
+                # interactive preview parity (reference detect.py:191-192)
+                cv2.imshow("frame", frame)
+                if cv2.waitKey(50) & 0xFF == ord("q"):
+                    stop = True
+                    return
 
     chunk = []
     for frame in iter_frames(data_path):
+        if stop:
+            break
         if chunk and frame.shape != chunk[0].shape:
             flush(chunk)
             chunk = []
@@ -259,6 +270,9 @@ def detect_to_video(
         if len(chunk) >= batch_frames:
             flush(chunk)
             chunk = []
-    flush(chunk)
+    if not stop:
+        flush(chunk)
     writer.release()
+    if show:
+        cv2.destroyAllWindows()
     return n

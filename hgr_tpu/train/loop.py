@@ -175,7 +175,8 @@ def fit(
             with mesh:
                 return p_eval(st, shard_batch(batch, mesh))
     else:
-        train_step = make_train_step(aug, **step_kw)
+        train_step = make_train_step(
+            aug, class_loss_weight=train_cfg.class_loss_weight, **step_kw)
         eval_step = make_eval_step(**step_kw)
 
     logger = MetricLogger(log_dir, run_name)

@@ -48,7 +48,7 @@ def _preprocess(batch: Dict[str, Array], key: Optional[Array],
 
 
 def _forward_and_metrics(apply_fn, params, batch_stats, data, num_classes,
-                         train: bool):
+                         train: bool, class_loss_weight: float = 0.001):
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         (cls_out, hmap, attn), mutated = apply_fn(
@@ -61,7 +61,7 @@ def _forward_and_metrics(apply_fn, params, batch_stats, data, num_classes,
     hmap_nchw = heatmaps_to_nchw(hmap)
     total, parts = multitask_loss(
         cls_out, hmap_nchw, data["label"], data["target"],
-        data["target_weight"])
+        data["target_weight"], class_loss_weight=class_loss_weight)
     return total, (parts, cls_out, hmap_nchw, attn, new_stats)
 
 
@@ -72,6 +72,7 @@ def make_train_step(
     image_size=(192, 192),
     heatmap_size=(48, 48),
     donate: bool = True,
+    class_loss_weight: float = 0.001,  # reference train.py:63
 ) -> Callable:
     """Build the jitted train step.
 
@@ -87,7 +88,8 @@ def make_train_step(
         def loss_fn(params):
             return _forward_and_metrics(
                 state.apply_fn, params, state.batch_stats, data,
-                num_classes, train=True)
+                num_classes, train=True,
+                class_loss_weight=class_loss_weight)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, (parts, cls_out, hmap, attn, new_stats)), grads = grad_fn(
