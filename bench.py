@@ -23,7 +23,7 @@ REFERENCE_CROPS_PER_SEC = 14.0  # BASELINE.md [measured], torch CPU bs=32
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=2048)
+    parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--include-augment", action="store_true",
