@@ -194,6 +194,7 @@ def apply_augment_batch(
     crop_size_factor: float = 0.35,
     normalize: bool = True,
     warp_method: str = "auto",
+    enable_jitter: bool = True,
 ) -> Dict[str, Array]:
     """The full reference __getitem__ transform, batched on device
     (reference libs/load.py:52-94 + preprocess :99-146).
@@ -242,7 +243,6 @@ def apply_augment_batch(
     # into the same VMEM pass — the XLA per-element gather is ~30x
     # slower there (1062ms vs 35ms for 512x256x256) and the standalone
     # jitter costs another ~43ms canvas round-trip.
-    img = canvas.astype(jnp.float32)
     if warp_method == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         s = canvas.shape[1]
@@ -251,13 +251,19 @@ def apply_augment_batch(
     if warp_method == "pallas":
         from hgr_tpu.ops.warp_pallas import warp_twopass_pallas
 
+        # uint8 canvas goes straight into the kernel (cast in VMEM);
+        # jitter math is skipped statically when disabled (eval paths).
         crop = warp_twopass_pallas(
-            img, m_canvas, (out_h, out_w),
-            jitter_gains=params.jitter_gains, do_jitter=params.do_jitter)
+            canvas, m_canvas, (out_h, out_w),
+            jitter_gains=(params.jitter_gains if enable_jitter else None),
+            do_jitter=params.do_jitter)
+        crop = crop.astype(jnp.float32)
     else:
-        jittered = hsv_jitter(img, params.jitter_gains)
-        img = jnp.where(
-            params.do_jitter[:, None, None, None] > 0, jittered, img)
+        img = canvas.astype(jnp.float32)
+        if enable_jitter:
+            jittered = hsv_jitter(img, params.jitter_gains)
+            img = jnp.where(
+                params.do_jitter[:, None, None, None] > 0, jittered, img)
         if warp_method == "twopass":
             crop = batched_affine_warp_twopass(img, m_canvas,
                                                (out_h, out_w))

@@ -88,7 +88,8 @@ def eval_exported(
     total_time = 0.0
     n_images = 0
     prep = jax.jit(lambda c, a, s, j, v: apply_augment_batch(
-        c, a, s, j, v, identity_params(c.shape[0]))["image"])
+        c, a, s, j, v, identity_params(c.shape[0]),
+        enable_jitter=False)["image"])
 
     for batch in loader:
         valid = int(batch.pop("valid", batch["label"].shape[0]))

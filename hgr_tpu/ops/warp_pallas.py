@@ -125,9 +125,10 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int,
     t2 = params_ref[i, 4]
     u2 = params_ref[i, 5]
 
-    bch = img_ref[0, 0]
-    gch = img_ref[0, 1]
-    rch = img_ref[0, 2]
+    # canvas may arrive as uint8 (4x less HBM traffic); compute in f32
+    bch = img_ref[0, 0].astype(jnp.float32)
+    gch = img_ref[0, 1].astype(jnp.float32)
+    rch = img_ref[0, 2].astype(jnp.float32)
     if with_jitter:
         jb, jg, jr = _hsv_jitter_planes(
             bch, gch, rch, params_ref[i, 6], params_ref[i, 7],
@@ -203,6 +204,9 @@ def warp_twopass_pallas(
         "canvas must be square with side a multiple of 128")
     assert c == 3, "fused warp expects 3-channel BGR images"
     orig_dtype = images.dtype
+    # NOTE: Mosaic on this toolchain cannot cast uint8->f32 in-kernel, so
+    # the canvas is widened to f32 on the XLA side (4x the HBM read; a
+    # future in-kernel u8 load would reclaim it).
     imgs = images.astype(jnp.float32)
 
     minv = invert_affine(jnp.asarray(m, jnp.float32))

@@ -35,14 +35,16 @@ def _preprocess(batch: Dict[str, Array], key: Optional[Array],
                 image_size, heatmap_size) -> Dict[str, Array]:
     """Raw host batch -> model-ready tensors, fully on device."""
     b = batch["canvas"].shape[0]
-    if key is not None and aug_cfg is not None:
+    train_mode = key is not None and aug_cfg is not None
+    if train_mode:
         params = draw_augment_params(key, b, batch["sizes_hw"], aug_cfg)
     else:
         params = identity_params(b)
     out = apply_augment_batch(
         batch["canvas"], batch["orig_to_canvas"], batch["sizes_hw"],
         batch["joints"], batch["joints_vis"], params,
-        image_size=image_size, heatmap_size=heatmap_size, sigma=sigma)
+        image_size=image_size, heatmap_size=heatmap_size, sigma=sigma,
+        enable_jitter=train_mode and aug_cfg.color_jittering)
     out["label"] = batch["label"]
     return out
 
