@@ -53,6 +53,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--configs", type=str, default="1,2,3,4,5")
+    parser.add_argument("--train_batch", type=int, default=256)
     args = parser.parse_args()
     configs = {int(c) for c in args.configs.split(",")}
 
@@ -104,7 +105,7 @@ def main() -> None:
             model, jax.random.PRNGKey(0), (1, 192, 192, 3), lr=1e-3,
             milestones_steps=(10**6,))
         step = make_train_step(AugmentConfig())
-        B, S = 256, 256
+        B, S = args.train_batch, 256
         batch = {
             "canvas": jnp.asarray(rng.randint(0, 255, (B, S, S, 3)),
                                   jnp.uint8),
