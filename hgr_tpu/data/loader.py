@@ -179,14 +179,21 @@ class BatchLoader:
             yield ids, bs
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Iterate with background prefetch of ``prefetch`` batches."""
+        """Iterate with background prefetch of ``prefetch`` batches.
+
+        Producer-thread exceptions (e.g. unreadable images, mirroring the
+        reference's hard error at libs/load.py:59-60) re-raise in the
+        consumer instead of silently truncating the epoch."""
         work: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list = []
 
         def producer():
             try:
                 for ids, valid in self._batch_ids():
                     work.put(self._assemble(ids, valid))
+            except BaseException as e:  # noqa: BLE001 — repropagated below
+                error.append(e)
             finally:
                 work.put(sentinel)
 
@@ -198,3 +205,5 @@ class BatchLoader:
                 break
             yield item
         t.join()
+        if error:
+            raise error[0]

@@ -106,3 +106,37 @@ def test_loader_uses_native(jpgs, tmp_path):
     np.testing.assert_array_equal(batch["canvas"][0], pc)
     np.testing.assert_allclose(batch["orig_to_canvas"][0], pa, atol=1e-5)
     assert batch["joints_vis"][0].sum() == 21
+
+
+def test_loader_falls_back_on_undecodable_file(tmp_path):
+    """A corrupt JPEG makes the native batch path report failure; the
+    loader falls back to the python path, which raises a clear error for
+    the unreadable file (reference load.py:59-60 parity)."""
+    import json
+
+    from hgr_tpu.config import DEFAULT_NAMES
+    from hgr_tpu.data.dataset import read_annotations
+    from hgr_tpu.data.loader import BatchLoader
+
+    root = tmp_path / "ds"
+    img_dir = root / "train"
+    ann_dir = root / "annotations" / "train"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    annots = {}
+    for i in range(2):
+        img, joints = make_hand_image(rng, 128)
+        _write_jpeg(str(img_dir / f"s{i}.jpg"), img)
+        annots[f"s{i}"] = {"label": "call",
+                           "landmark": (joints / 128).tolist()}
+    # corrupt the second file
+    (img_dir / "s1.jpg").write_bytes(b"not a jpeg at all")
+    with open(ann_dir / "train.json", "w") as f:
+        json.dump(annots, f)
+
+    idx = read_annotations(str(ann_dir), DEFAULT_NAMES)
+    loader = BatchLoader(idx, batch_size=2, canvas_size=128, shuffle=False,
+                         num_workers=2)
+    with pytest.raises(ValueError, match="Fail to read"):
+        list(loader)
