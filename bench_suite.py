@@ -140,10 +140,7 @@ def main() -> None:
     if 4 in configs:
         from hgr_tpu.config import DEFAULT_NAMES
         from hgr_tpu.infer.detect import HandGesturePipeline
-        from hgr_tpu.infer.weights import (
-            load_classifier_weights,
-            load_detector_weights,
-        )
+        from hgr_tpu.infer.weights import load_detector_weights
 
         pipe = HandGesturePipeline(
             variables, load_detector_weights(""), DEFAULT_NAMES,

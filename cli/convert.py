@@ -47,7 +47,6 @@ def main():
             import jax.numpy as jnp
 
             from hgr_tpu.models import MultiTaskNet
-            from hgr_tpu.models.multitasknet import heatmaps_to_nchw
 
             sys.path.insert(0, "/root/reference")
             from model.multitasknet import MultiTaskNet as TorchNet

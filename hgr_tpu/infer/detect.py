@@ -19,7 +19,6 @@ returns (label, score, box, landmarks); the host only draws and encodes.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import glob
 import os

@@ -13,10 +13,8 @@ Capability parity with reference export.py:
 
 from __future__ import annotations
 
-import json
-import os
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ smoke runs.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +49,6 @@ def load_classifier_weights(
         return restored
     except Exception:
         from hgr_tpu.train.state import create_train_state
-        from hgr_tpu.models import MultiTaskNet as M
 
         state, _ = create_train_state(
             model, jax.random.PRNGKey(0),

@@ -17,7 +17,7 @@ cleanly onto the 128x128 MXU.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Type
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

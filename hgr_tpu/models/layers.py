@@ -12,7 +12,7 @@ TPU-first re-design of the reference's torch modules
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple, Union
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -24,7 +24,7 @@ available (hgr_tpu.utils.onnx_port).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax

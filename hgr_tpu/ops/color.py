@@ -16,7 +16,7 @@ Replaces the reference's host OpenCV color path:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,10 +9,10 @@ reference never had (SURVEY.md §2c).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from hgr_tpu.config import AugmentConfig
 from hgr_tpu.parallel.mesh import (

@@ -10,10 +10,8 @@ persist optimizer state and step too, enabling true resume (SURVEY.md
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
-import jax
-import numpy as np
 
 
 def _ocp():

@@ -12,7 +12,7 @@ function (and shards trivially under a Mesh).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import flax.struct
 import jax

@@ -10,8 +10,7 @@ Loss semantics: total = 0.001 * CE + JointsMSE (reference train.py:63-64).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

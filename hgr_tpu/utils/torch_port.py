@@ -16,7 +16,7 @@ CLI converter for users migrating reference checkpoints.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping
 
 import numpy as np
 

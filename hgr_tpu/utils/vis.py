@@ -10,8 +10,7 @@ NHWC device outputs of the eval step.
 from __future__ import annotations
 
 import math
-import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
