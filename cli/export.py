@@ -63,7 +63,8 @@ def main():
             num_joints=data_cfg.num_joints, shuffle=False, drop_last=False,
             num_workers=4)
         print("Testing the exported model on the test split...")
-        res = eval_exported(fn, loader, data_cfg.num_classes)
+        res = eval_exported(fn, loader, data_cfg.num_classes,
+                            image_size=image_size)
         print("Test F1 Score: {:.4f}".format(res["test_f1"]))
         print("Average time taken to process one image: {:.4f} seconds"
               .format(res["mean_latency_s"]))

@@ -73,6 +73,7 @@ def eval_exported(
     fn: Callable,
     loader,
     num_classes: int = 19,
+    image_size=(192, 192),
 ) -> Dict[str, float]:
     """Full test-set eval through an exported graph: macro F1 + mean
     per-image latency (reference export.py:83-119)."""
@@ -87,6 +88,8 @@ def eval_exported(
     n_images = 0
     prep = jax.jit(lambda c, a, s, j, v: apply_augment_batch(
         c, a, s, j, v, identity_params(c.shape[0]),
+        image_size=image_size,
+        heatmap_size=(image_size[0] // 4, image_size[1] // 4),
         enable_jitter=False)["image"])
 
     for batch in loader:
