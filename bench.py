@@ -34,6 +34,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from hgr_tpu.models import MultiTaskNet
+    from hgr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dev = jax.devices()[0]
     model = MultiTaskNet(dtype=jnp.bfloat16)

@@ -61,6 +61,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from hgr_tpu.config import AugmentConfig
+    from hgr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from hgr_tpu.models import MultiTaskNet
     from hgr_tpu.models.multitasknet import heatmaps_to_nchw
     from hgr_tpu.ops.heatmap import get_max_preds

@@ -44,6 +44,9 @@ def main():
     import jax.numpy as jnp
 
     from hgr_tpu.config import load_data_config
+    from hgr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from hgr_tpu.infer.detect import HandGesturePipeline, detect_to_video
     from hgr_tpu.infer.weights import (
         load_classifier_weights,

@@ -32,6 +32,9 @@ def main():
     args = parser.parse_args()
 
     from hgr_tpu.config import load_data_config
+    from hgr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from hgr_tpu.data.dataset import read_annotations
     from hgr_tpu.data.loader import BatchLoader
     from hgr_tpu.infer.export import (

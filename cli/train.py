@@ -78,6 +78,10 @@ def main():
     if args.host_device_count:
         jax.config.update("jax_platforms", "cpu")
 
+    from hgr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from hgr_tpu.config import ModelConfig, TrainConfig, load_data_config
     from hgr_tpu.data.dataset import read_annotations
     from hgr_tpu.data.loader import BatchLoader
