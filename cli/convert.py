@@ -22,7 +22,8 @@ def main():
     parser.add_argument('--classifier', type=str, default='',
                         help='reference Lightning .ckpt to convert')
     parser.add_argument('--detector', type=str, default='',
-                        help='YOLOv7-tiny .onnx to convert (needs onnx pkg)')
+                        help='YOLOv7-tiny .onnx to convert (parsed by the '
+                             'first-party ONNX reader — no onnx pkg needed)')
     parser.add_argument('--out', type=str, required=True,
                         help='output .npz path')
     parser.add_argument('--verify', action='store_true',

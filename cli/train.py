@@ -55,9 +55,10 @@ def parse_args():
                         help='simulate N virtual CPU devices (mesh testing '
                              'without hardware)')
     parser.add_argument('--debug_images', action='store_true',
-                        help='dump GT/pred/heatmap/attention image grids '
-                             'for one val batch each epoch (reference '
-                             'train.py:148-174 behavior)')
+                        help='dump GT/pred/heatmap grids every 100 train '
+                             'batches and one val batch (with attention) '
+                             'each epoch (reference train.py:148-174 '
+                             'cadence); works under --mesh too')
     return parser.parse_args()
 
 
@@ -112,24 +113,32 @@ def main():
         save_dir=args.save_dir, canvas_size=args.canvas_size,
     )
 
+    from hgr_tpu.data.pipeline import staging_window_fraction
+
+    window_frac = staging_window_fraction(data_cfg.augments)
+
     def make_loader(split_dir, shuffle, drop_last):
         idx = read_annotations(split_dir, data_cfg.names)
         return idx, BatchLoader(
             idx, batch_size=args.batch_size, canvas_size=args.canvas_size,
             num_joints=data_cfg.num_joints, shuffle=shuffle, seed=args.seed,
-            drop_last=drop_last, num_workers=args.num_workers)
+            drop_last=drop_last, num_workers=args.num_workers,
+            window_frac=window_frac)
 
+    # train drops the ragged tail (static shapes, like the reference's
+    # drop_last train DataLoader); val/test keep it — every sample is
+    # evaluated exactly once (reference libs/load.py:289-305).
     train_idx, train_loader = make_loader(
         os.path.join(data_cfg.path, data_cfg.train), True, True)
     _, val_loader = make_loader(
-        os.path.join(data_cfg.path, data_cfg.val), False, True)
+        os.path.join(data_cfg.path, data_cfg.val), False, False)
     _, test_loader = make_loader(
-        os.path.join(data_cfg.path, data_cfg.test), False, True)
+        os.path.join(data_cfg.path, data_cfg.test), False, False)
 
     model = MultiTaskNet.from_config(model_cfg)
     steps_per_epoch = len(train_loader)
     milestones = [m * steps_per_epoch for m in args.lr_step]
-    state, _ = create_train_state(
+    state, lr_schedule = create_train_state(
         model, jax.random.PRNGKey(args.seed),
         (1, image_size[0], image_size[1], 3),
         lr=args.lr, milestones_steps=milestones, lr_factor=args.lr_factor)
@@ -155,33 +164,11 @@ def main():
         state = shard_state(state, mesh, tensor_parallel)
         print(f"mesh: {shape}")
 
-    debug_dump = None
-    if args.debug_images and mesh is None:
-        import jax.numpy as jnp
-
-        from hgr_tpu.train.steps import make_eval_step
-        from hgr_tpu.utils.vis import save_debug_images
-
-        dbg_step = make_eval_step(
-            num_classes=data_cfg.num_classes, sigma=float(args.sigma),
-            image_size=image_size,
-            heatmap_size=model_cfg.heatmap_size, return_outputs=True)
-        dbg_batch = next(iter(val_loader))
-        dbg_batch.pop("valid", None)
-        dbg_jnp = {k: jnp.asarray(v) for k, v in dbg_batch.items()}
-
-        def debug_dump(state, epoch):
-            _, outputs = dbg_step(state, dbg_jnp)
-            prefix = os.path.join(save_path, f"val_{epoch}")
-            save_debug_images(
-                {k: v for k, v in outputs.items()}, prefix,
-                with_attention=True)
-
     print(f"{len(train_idx)} train samples, {steps_per_epoch} steps/epoch")
     fit(model_cfg, train_cfg, data_cfg, state, train_loader, val_loader,
         test_loader, save_path=save_path, log_dir=args.log_dir,
         run_name=model_name, mesh=mesh, tensor_parallel=tensor_parallel,
-        debug_dump=debug_dump)
+        debug_images=args.debug_images, lr_fn=lr_schedule)
 
 
 if __name__ == "__main__":

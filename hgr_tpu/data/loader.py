@@ -8,8 +8,10 @@ and a small prefetch queue keeps the accelerator fed while the device
 does ALL augmentation/warping (hgr_tpu.data.pipeline).
 
 Static-shape guarantees for jit: every batch has exactly ``batch_size``
-samples (train: drop-last; eval: pad with repeats and report ``valid``
-counts so epoch metrics exclude padding).
+samples (train: drop-last; eval: pad with repeats and carry a per-sample
+``valid`` float mask so epoch metrics count every real sample exactly
+once — the reference evaluates the full set via drop_last=False
+DataLoaders, libs/load.py:289-305).
 """
 
 from __future__ import annotations
@@ -62,10 +64,12 @@ class BatchLoader:
         drop_last: bool = True,
         num_workers: int = 4,
         prefetch: int = 2,
+        window_frac: float = 0.75,
     ):
         self.index = index
         self.batch_size = batch_size
         self.canvas_size = canvas_size
+        self.window_frac = window_frac
         self.num_joints = num_joints
         self.shuffle = shuffle
         self.seed = seed
@@ -89,7 +93,8 @@ class BatchLoader:
 
         s = self.index.samples[i]
         img = _decode_image(s.image_path)
-        canvas, affine, (h, w) = stage_image(img, self.canvas_size)
+        canvas, affine, (h, w) = stage_image(
+            img, self.canvas_size, self.window_frac)
         lm = np.asarray(s.landmark, np.float32).reshape(-1, 2)
         joints = np.zeros((self.num_joints, 2), np.float32)
         vis = np.zeros((self.num_joints,), np.float32)
@@ -111,8 +116,10 @@ class BatchLoader:
             "joints_vis": np.zeros((bs, self.num_joints), np.float32),
             "label": np.zeros((bs,), np.int32),
         }
+        mask = np.zeros((bs,), np.float32)
+        mask[:valid] = 1.0
         if self._native_batch(ids, batch):
-            batch["valid"] = np.int32(valid)
+            batch["valid"] = mask
             return batch
         if self._pool is not None:
             results = list(self._pool.map(self._load_one, ids))
@@ -126,7 +133,7 @@ class BatchLoader:
             batch["joints"][k] = joints
             batch["joints_vis"][k] = vis
             batch["label"][k] = label
-        batch["valid"] = np.int32(valid)
+        batch["valid"] = mask
         return batch
 
     def _native_batch(self, ids: np.ndarray, batch: Dict[str, np.ndarray]
@@ -146,7 +153,7 @@ class BatchLoader:
         res = native.stage_batch(
             paths, self.canvas_size, num_threads=self.num_workers,
             out_canvases=batch["canvas"], out_affines=batch["orig_to_canvas"],
-            out_sizes=batch["sizes_hw"])
+            out_sizes=batch["sizes_hw"], window_frac=self.window_frac)
         if res is None or not res[3].all():
             return False
         for k, i in enumerate(ids):

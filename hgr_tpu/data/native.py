@@ -25,6 +25,16 @@ _lib_lock = threading.Lock()
 _build_attempted = False
 
 
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["sh", os.path.join(_LIB_DIR, "build.sh")],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_attempted
     with _lib_lock:
@@ -32,27 +42,33 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if not os.path.exists(_LIB_PATH) and not _build_attempted:
             _build_attempted = True
-            try:
-                subprocess.run(
-                    ["sh", os.path.join(_LIB_DIR, "build.sh")],
-                    check=True, capture_output=True, timeout=120)
-            except Exception:
-                return None
+            _build()
         if not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
+        if not hasattr(lib, "hgr_stage_batch2"):
+            # Stale .so from an older ABI — rebuild once.
+            if _build_attempted or not _build():
+                return None
+            _build_attempted = True
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
+            if not hasattr(lib, "hgr_stage_batch2"):
+                return None
         lib.hgr_decode_jpeg.restype = ctypes.c_int
         lib.hgr_decode_jpeg.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int)]
-        lib.hgr_stage_batch.restype = ctypes.c_int
-        lib.hgr_stage_batch.argtypes = [
+        lib.hgr_stage_batch2.restype = ctypes.c_int
+        lib.hgr_stage_batch2.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         _lib = lib
@@ -90,6 +106,7 @@ def stage_batch(
     out_canvases: Optional[np.ndarray] = None,
     out_affines: Optional[np.ndarray] = None,
     out_sizes: Optional[np.ndarray] = None,
+    window_frac: float = 0.75,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     """Decode + stage a whole batch natively.
 
@@ -109,10 +126,10 @@ def stage_batch(
     ok = np.empty((n,), np.uint8)
 
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.hgr_stage_batch(
+    lib.hgr_stage_batch2(
         c_paths, n,
         canvases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        canvas_size,
+        canvas_size, window_frac,
         affines.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

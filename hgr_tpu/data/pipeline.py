@@ -48,18 +48,38 @@ Array = jax.Array
 # Host staging
 # ---------------------------------------------------------------------------
 
+def staging_window_fraction(
+    aug: AugmentConfig, crop_size_factor: float = 0.35
+) -> float:
+    """Fraction of max(h, w) the augmented crop can ever sample from.
+
+    Worst case reach from the image center, as a fraction of max(h, w):
+      translate: |clip(N(0, tf), ±2tf)| * max(w, h)      <= 2 * tf
+      crop half-extent: origin_size * scale_max * sqrt(2)/2 (45° rotation
+        of a square of side crop_size_factor * (1 + sf) * max(h, w))
+    Window side = 2 * that reach. Defaults (tf=.02, sf=.35, csf=.35) give
+    0.748 — the 0.75 the round-1 code hard-coded; larger user augments now
+    widen the window instead of silently sampling staged zeros.
+    """
+    reach = (2.0 * aug.translate_factor
+             + crop_size_factor * (1.0 + aug.scale_factor)
+             * float(np.sqrt(2.0)) / 2.0)
+    return float(min(1.0, 2.0 * reach))
+
+
 def stage_image(
-    img: np.ndarray, canvas_size: int
+    img: np.ndarray, canvas_size: int, window_frac: float = 0.75
 ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
     """Stage a decoded (H, W, 3) uint8 image into a square canvas.
 
     Keeps the central window that the crop geometry can ever touch
-    (0.75 * max(h, w), see module docstring), downscaling only when that
-    window exceeds the canvas. Returns (canvas_u8, orig_to_canvas_affine
+    (``window_frac * max(h, w)`` — derive it with
+    ``staging_window_fraction``), downscaling only when that window
+    exceeds the canvas. Returns (canvas_u8, orig_to_canvas_affine
     (2, 3) float32, (orig_h, orig_w)).
     """
     h, w = img.shape[:2]
-    win = int(np.ceil(0.75 * max(h, w)))
+    win = int(np.ceil(window_frac * max(h, w)))
     cx, cy = w / 2.0, h / 2.0
     x0 = max(0, int(np.floor(cx - win / 2.0)))
     y0 = max(0, int(np.floor(cy - win / 2.0)))

@@ -93,7 +93,10 @@ def eval_exported(
         enable_jitter=False)["image"])
 
     for batch in loader:
-        valid = int(batch.pop("valid", batch["label"].shape[0]))
+        # 'valid' is a per-sample mask (ones then zeros for tail padding).
+        mask = batch.pop("valid", None)
+        valid = (int(np.asarray(mask).sum()) if mask is not None
+                 else batch["label"].shape[0])
         images = prep(
             jnp.asarray(batch["canvas"]),
             jnp.asarray(batch["orig_to_canvas"]),

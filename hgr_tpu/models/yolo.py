@@ -34,6 +34,11 @@ import numpy as np
 Array = jax.Array
 
 # yolov7-tiny anchors (w, h) per scale — public cfg/training/yolov7-tiny.yaml.
+# BatchNorm epsilon of the yolov7-tiny Conv blocks (torch BatchNorm2d
+# eps=1e-3 in the upstream cfg); the ONNX weight porter references this
+# to build exact identity BNs for fused-conv graphs.
+BN_EPS = 1e-3
+
 ANCHORS = (
     ((10.0, 13.0), (16.0, 30.0), (33.0, 23.0)),      # P3, stride 8
     ((30.0, 61.0), (62.0, 45.0), (59.0, 119.0)),     # P4, stride 16
@@ -49,6 +54,7 @@ class ConvAct(nn.Module):
     kernel_size: int = 1
     strides: int = 1
     dtype: Any = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -57,9 +63,9 @@ class ConvAct(nn.Module):
                     strides=(self.strides, self.strides),
                     padding=((p, p), (p, p)), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv")(x)
+                    precision=self.precision, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
+                         epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x)
         return nn.leaky_relu(x, 0.1).astype(self.dtype)
 
 
@@ -70,15 +76,17 @@ class ElanTiny(nn.Module):
     hidden: int
     out: int
     dtype: Any = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        a = ConvAct(self.hidden, 1, dtype=self.dtype, name="cv1")(x, train)
-        b = ConvAct(self.hidden, 1, dtype=self.dtype, name="cv2")(x, train)
-        c = ConvAct(self.hidden, 3, dtype=self.dtype, name="cv3")(b, train)
-        d = ConvAct(self.hidden, 3, dtype=self.dtype, name="cv4")(c, train)
+        kw = dict(dtype=self.dtype, precision=self.precision)
+        a = ConvAct(self.hidden, 1, name="cv1", **kw)(x, train)
+        b = ConvAct(self.hidden, 1, name="cv2", **kw)(x, train)
+        c = ConvAct(self.hidden, 3, name="cv3", **kw)(b, train)
+        d = ConvAct(self.hidden, 3, name="cv4", **kw)(c, train)
         y = jnp.concatenate([d, c, b, a], axis=-1)
-        return ConvAct(self.out, 1, dtype=self.dtype, name="out")(y, train)
+        return ConvAct(self.out, 1, name="out", **kw)(y, train)
 
 
 def _maxpool(x: Array, k: int, s: int) -> Array:
@@ -94,18 +102,20 @@ class SppCspTiny(nn.Module):
     hidden: int
     out: int
     dtype: Any = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        a = ConvAct(self.hidden, 1, dtype=self.dtype, name="cv1")(x, train)
-        b = ConvAct(self.hidden, 1, dtype=self.dtype, name="cv2")(x, train)
+        kw = dict(dtype=self.dtype, precision=self.precision)
+        a = ConvAct(self.hidden, 1, name="cv1", **kw)(x, train)
+        b = ConvAct(self.hidden, 1, name="cv2", **kw)(x, train)
         p5 = _maxpool(b, 5, 1)
         p9 = _maxpool(b, 9, 1)
         p13 = _maxpool(b, 13, 1)
         y = jnp.concatenate([p13, p9, p5, b], axis=-1)
-        y = ConvAct(self.hidden, 1, dtype=self.dtype, name="cv3")(y, train)
+        y = ConvAct(self.hidden, 1, name="cv3", **kw)(y, train)
         y = jnp.concatenate([y, a], axis=-1)
-        return ConvAct(self.out, 1, dtype=self.dtype, name="out")(y, train)
+        return ConvAct(self.out, 1, name="out", **kw)(y, train)
 
 
 class YOLOv7Tiny(nn.Module):
@@ -118,40 +128,41 @@ class YOLOv7Tiny(nn.Module):
 
     num_classes: int = 1
     dtype: Any = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> List[Array]:
         d = self.dtype
         x = x.astype(d)
         # backbone
-        x = ConvAct(32, 3, 2, dtype=d, name="stem1")(x, train)   # /2
-        x = ConvAct(64, 3, 2, dtype=d, name="stem2")(x, train)   # /4
-        x = ElanTiny(32, 64, dtype=d, name="elan1")(x, train)
+        x = ConvAct(32, 3, 2, dtype=d, precision=self.precision, name="stem1")(x, train)   # /2
+        x = ConvAct(64, 3, 2, dtype=d, precision=self.precision, name="stem2")(x, train)   # /4
+        x = ElanTiny(32, 64, dtype=d, precision=self.precision, name="elan1")(x, train)
         x = _maxpool(x, 2, 2)                                    # /8
-        p3 = ElanTiny(64, 128, dtype=d, name="elan2")(x, train)
+        p3 = ElanTiny(64, 128, dtype=d, precision=self.precision, name="elan2")(x, train)
         x = _maxpool(p3, 2, 2)                                   # /16
-        p4 = ElanTiny(128, 256, dtype=d, name="elan3")(x, train)
+        p4 = ElanTiny(128, 256, dtype=d, precision=self.precision, name="elan3")(x, train)
         x = _maxpool(p4, 2, 2)                                   # /32
-        p5 = ElanTiny(256, 512, dtype=d, name="elan4")(x, train)
+        p5 = ElanTiny(256, 512, dtype=d, precision=self.precision, name="elan4")(x, train)
 
         # neck
-        n5 = SppCspTiny(256, 256, dtype=d, name="spp")(p5, train)
-        u4 = ConvAct(128, 1, dtype=d, name="up4_conv")(n5, train)
+        n5 = SppCspTiny(256, 256, dtype=d, precision=self.precision, name="spp")(p5, train)
+        u4 = ConvAct(128, 1, dtype=d, precision=self.precision, name="up4_conv")(n5, train)
         u4 = _upsample2(u4)
-        r4 = ConvAct(128, 1, dtype=d, name="route4")(p4, train)
-        n4 = ElanTiny(64, 128, dtype=d, name="neck4")(
+        r4 = ConvAct(128, 1, dtype=d, precision=self.precision, name="route4")(p4, train)
+        n4 = ElanTiny(64, 128, dtype=d, precision=self.precision, name="neck4")(
             jnp.concatenate([r4, u4], axis=-1), train)
-        u3 = ConvAct(64, 1, dtype=d, name="up3_conv")(n4, train)
+        u3 = ConvAct(64, 1, dtype=d, precision=self.precision, name="up3_conv")(n4, train)
         u3 = _upsample2(u3)
-        r3 = ConvAct(64, 1, dtype=d, name="route3")(p3, train)
-        n3 = ElanTiny(32, 64, dtype=d, name="neck3")(
+        r3 = ConvAct(64, 1, dtype=d, precision=self.precision, name="route3")(p3, train)
+        n3 = ElanTiny(32, 64, dtype=d, precision=self.precision, name="neck3")(
             jnp.concatenate([r3, u3], axis=-1), train)
 
-        d4 = ConvAct(128, 3, 2, dtype=d, name="down4")(n3, train)
-        n4b = ElanTiny(64, 128, dtype=d, name="neck4b")(
+        d4 = ConvAct(128, 3, 2, dtype=d, precision=self.precision, name="down4")(n3, train)
+        n4b = ElanTiny(64, 128, dtype=d, precision=self.precision, name="neck4b")(
             jnp.concatenate([d4, n4], axis=-1), train)
-        d5 = ConvAct(256, 3, 2, dtype=d, name="down5")(n4b, train)
-        n5b = ElanTiny(128, 256, dtype=d, name="neck5b")(
+        d5 = ConvAct(256, 3, 2, dtype=d, precision=self.precision, name="down5")(n4b, train)
+        n5b = ElanTiny(128, 256, dtype=d, precision=self.precision, name="neck5b")(
             jnp.concatenate([d5, n5], axis=-1), train)
 
         # heads: 3x3 conv then 1x1 detect conv (bias=True)
@@ -159,9 +170,10 @@ class YOLOv7Tiny(nn.Module):
         outs = []
         for i, (feat, ch) in enumerate(
                 ((n3, 128), (n4b, 256), (n5b, 512))):
-            h = ConvAct(ch, 3, dtype=d, name=f"head{i}_conv")(feat, train)
+            h = ConvAct(ch, 3, dtype=d, precision=self.precision, name=f"head{i}_conv")(feat, train)
             o = nn.Conv(no, (1, 1), use_bias=True, dtype=jnp.float32,
-                        param_dtype=jnp.float32, name=f"detect{i}")(h)
+                        param_dtype=jnp.float32,
+                        precision=self.precision, name=f"detect{i}")(h)
             outs.append(o)
         return outs
 

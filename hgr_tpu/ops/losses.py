@@ -22,16 +22,32 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _masked_mean(per_sample: Array, sample_mask: Optional[Array]) -> Array:
+    """Mean over the batch, restricted to samples with mask > 0.
+
+    With ``sample_mask=None`` (or an all-ones mask) this is the plain
+    batch mean — identical to the reference's full-batch reductions. The
+    mask path makes tail-batch padding contribute exactly zero (the
+    reference never pads: its eval DataLoaders use drop_last=False,
+    libs/load.py:289-305)."""
+    if sample_mask is None:
+        return jnp.mean(per_sample)
+    m = jnp.asarray(sample_mask, jnp.float32)
+    return jnp.sum(per_sample * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
 def joints_mse_loss(
     output: Array,
     target: Array,
     target_weight: Optional[Array] = None,
+    sample_mask: Optional[Array] = None,
 ) -> Array:
     """Masked per-joint MSE heatmap loss.
 
     Args:
       output, target: (B, J, H, W) — heatmaps.
       target_weight: (B, J) or (B, J, 1) visibility mask, or None.
+      sample_mask: optional (B,) mask excluding padded samples.
     Returns scalar float32 loss.
     """
     output = jnp.asarray(output, jnp.float32)
@@ -43,17 +59,23 @@ def joints_mse_loss(
         w = jnp.asarray(target_weight, jnp.float32).reshape(b, j, 1)
         pred = pred * w
         gt = gt * w
-    # mean over (batch, pixels) per joint; 0.5x; mean over joints.
-    per_joint = 0.5 * jnp.mean((pred - gt) ** 2, axis=(0, 2))
-    return jnp.sum(per_joint) / j
+    # 0.5 * mean over (batch, pixels) per joint, summed over joints / J
+    # (reference libs/loss.py:10-30) == batch mean of the per-sample loss
+    # (1/J) sum_j 0.5 * mean_pixels(...); the latter form supports the
+    # sample mask.
+    per_sample = 0.5 * jnp.mean(jnp.mean((pred - gt) ** 2, axis=-1), axis=-1)
+    return _masked_mean(per_sample, sample_mask)
 
 
-def classification_loss(logits: Array, labels: Array) -> Array:
+def classification_loss(
+    logits: Array, labels: Array, sample_mask: Optional[Array] = None
+) -> Array:
     """Mean cross-entropy over integer labels. logits (B, C), labels (B,)."""
     logits = jnp.asarray(logits, jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
-    return jnp.mean(nll)
+    nll = -jnp.take_along_axis(
+        logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return _masked_mean(nll, sample_mask)
 
 
 def multitask_loss(
@@ -63,10 +85,13 @@ def multitask_loss(
     target: Array,
     target_weight: Optional[Array],
     class_loss_weight: float = 0.001,
+    sample_mask: Optional[Array] = None,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Total loss = class_loss * w + joints_loss (reference train.py:63-75)."""
-    class_loss = classification_loss(logits, labels) * class_loss_weight
-    joints_loss = joints_mse_loss(heatmaps, target, target_weight)
+    class_loss = classification_loss(
+        logits, labels, sample_mask) * class_loss_weight
+    joints_loss = joints_mse_loss(
+        heatmaps, target, target_weight, sample_mask)
     total = class_loss + joints_loss
     return total, {
         "total_loss": total,

@@ -32,12 +32,15 @@ Array = jax.Array
 
 
 def pck_accuracy(
-    output: Array, target: Array, thr: float = 0.5
+    output: Array, target: Array, thr: float = 0.5,
+    sample_mask: Array = None
 ) -> Tuple[Array, Array, Array, Array]:
     """PCK@thr from heatmaps (reference libs/metrics.py:31-62).
 
     Args:
       output, target: (B, J, H, W) heatmaps.
+      sample_mask: optional (B,) mask; samples with mask == 0 (tail-batch
+        padding) contribute no joints, exactly as if absent.
     Returns:
       acc: (J + 1,) — acc[0] is the average, acc[1:] per-joint (-1 if no
         valid samples for that joint).
@@ -57,6 +60,8 @@ def pck_accuracy(
     # h to x and w to y (libs/metrics.py:46); preserved verbatim.
     norm = jnp.array([h / 10.0, w / 10.0], jnp.float32)
     valid = (gt[..., 0] > 1.0) & (gt[..., 1] > 1.0)  # (B, J)
+    if sample_mask is not None:
+        valid = valid & (jnp.asarray(sample_mask) > 0)[:, None]
     dists = jnp.linalg.norm((pred - gt) / norm, axis=-1)  # (B, J)
 
     valid_f = valid.astype(jnp.float32)
@@ -74,15 +79,19 @@ def pck_accuracy(
     return acc, avg_acc, cnt.astype(jnp.int32), pred
 
 
-def confusion_update(conf: Array, labels: Array, preds: Array) -> Array:
+def confusion_update(conf: Array, labels: Array, preds: Array,
+                     sample_mask: Array = None) -> Array:
     """Accumulate a (C, C) confusion matrix: conf[label, pred] += 1.
 
     Implemented as a one-hot matmul so it stays a dense MXU-friendly op
-    inside jit (no host scatter).
+    inside jit (no host scatter). ``sample_mask`` zeroes padded samples'
+    rows so every real sample counts exactly once across an epoch.
     """
     c = conf.shape[0]
     lab = jax.nn.one_hot(labels, c, dtype=jnp.float32)  # (B, C)
     prd = jax.nn.one_hot(preds, c, dtype=jnp.float32)  # (B, C)
+    if sample_mask is not None:
+        lab = lab * jnp.asarray(sample_mask, jnp.float32)[:, None]
     return conf + jnp.matmul(lab.T, prd, precision=jax.lax.Precision.HIGHEST)
 
 
@@ -102,11 +111,13 @@ def macro_f1_from_confusion(conf: Array) -> Array:
     return jnp.mean(f1)
 
 
-def batch_macro_f1(labels: Array, preds: Array, num_classes: int) -> Array:
+def batch_macro_f1(labels: Array, preds: Array, num_classes: int,
+                   sample_mask: Array = None) -> Array:
     """Per-batch macro F1 (the quantity the reference logs each step,
     train.py:67-69)."""
     conf = confusion_update(
-        jnp.zeros((num_classes, num_classes), jnp.float32), labels, preds
+        jnp.zeros((num_classes, num_classes), jnp.float32), labels, preds,
+        sample_mask=sample_mask,
     )
     return macro_f1_from_confusion(conf)
 

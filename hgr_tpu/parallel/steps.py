@@ -74,6 +74,7 @@ def make_parallel_train_step(
     image_size=(192, 192),
     heatmap_size=(48, 48),
     tensor_parallel: bool = False,
+    class_loss_weight: float = 0.001,  # reference train.py:63
 ) -> Callable:
     """Jit the train step with explicit in/out shardings over ``mesh``.
 
@@ -82,27 +83,21 @@ def make_parallel_train_step(
     """
     inner = base_steps.make_train_step(
         aug_cfg, num_classes=num_classes, sigma=sigma,
-        image_size=image_size, heatmap_size=heatmap_size, donate=False)
+        image_size=image_size, heatmap_size=heatmap_size, donate=False,
+        class_loss_weight=class_loss_weight)
     # Reuse the un-jitted logic: make_train_step returns a jitted fn; get
     # its wrapped function to avoid nested jit dispatch overhead.
     fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner
 
     st_sh = state_shardings(state_template, mesh, tensor_parallel)
+    # b_sh / rep act as PYTREE PREFIXES: every batch leaf (all batch-led)
+    # shards on 'data'; every metric scalar/matrix replicates.
     b_sh = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
-    batch_shardings = {
-        "canvas": b_sh, "orig_to_canvas": b_sh, "sizes_hw": b_sh,
-        "joints": b_sh, "joints_vis": b_sh, "label": b_sh,
-    }
-    metrics_sh = {
-        "total_loss": rep, "class_loss": rep, "joints_loss": rep,
-        "cls_f1score": rep, "pose_acc": rep, "pose_cnt": rep,
-        "conf_update": rep,
-    }
     return jax.jit(
         fn,
-        in_shardings=(st_sh, batch_shardings, rep),
-        out_shardings=(st_sh, metrics_sh),
+        in_shardings=(st_sh, b_sh, rep),
+        out_shardings=(st_sh, rep),
         donate_argnums=(0,),
     )
 
@@ -115,25 +110,26 @@ def make_parallel_eval_step(
     image_size=(192, 192),
     heatmap_size=(48, 48),
     tensor_parallel: bool = False,
+    return_outputs: bool = False,
 ) -> Callable:
     inner = base_steps.make_eval_step(
         num_classes=num_classes, sigma=sigma, image_size=image_size,
-        heatmap_size=heatmap_size)
+        heatmap_size=heatmap_size, return_outputs=return_outputs)
     fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner
     st_sh = state_shardings(state_template, mesh, tensor_parallel)
     b_sh = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
-    batch_shardings = {
-        "canvas": b_sh, "orig_to_canvas": b_sh, "sizes_hw": b_sh,
-        "joints": b_sh, "joints_vis": b_sh, "label": b_sh,
-    }
-    metrics_sh = {
-        "total_loss": rep, "class_loss": rep, "joints_loss": rep,
-        "cls_f1score": rep, "pose_acc": rep, "pose_cnt": rep,
-        "conf_update": rep,
-    }
+    if return_outputs:
+        # metrics replicate; every outputs leaf is batch-led
+        # (image/target/.../attnmap) — sharded on 'data'; the debug
+        # dumper device_gets the gather (prefix shardings).
+        return jax.jit(
+            fn,
+            in_shardings=(st_sh, b_sh),
+            out_shardings=(rep, b_sh),
+        )
     return jax.jit(
         fn,
-        in_shardings=(st_sh, batch_shardings),
-        out_shardings=metrics_sh,
+        in_shardings=(st_sh, b_sh),
+        out_shardings=rep,
     )

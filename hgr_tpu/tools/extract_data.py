@@ -124,7 +124,7 @@ def process_image(
         if joints.shape[0]:
             import jax.numpy as jnp
 
-            joints = np.asarray(transform_points(
+            joints = np.array(transform_points(
                 jnp.asarray(joints), jnp.asarray(trans)))
             joints[:, 0] /= target_size[0]
             joints[:, 1] /= target_size[1]
@@ -156,8 +156,12 @@ class HagridDataExtractor:
                 os.path.join(self.root_dir, annot_dir, "*.json"))):
             with open(json_file_path) as f:
                 data = json.load(f)
+            # name = gesture (json stem) -> crop dir; action = SPLIT (the
+            # annot_dir stem, e.g. 'train') -> annotations/<split>/ — the
+            # layout data.dataset.read_annotations consumes (reference
+            # extract_data.py:99-100,105-107).
             name = Path(json_file_path).stem
-            action = Path(json_file_path).stem
+            action = Path(annot_dir).stem
 
             image_save_path = os.path.join(self.output_dir, name)
             os.makedirs(image_save_path, exist_ok=True)

@@ -26,7 +26,16 @@ class CheckpointManager:
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # Seed 'best' from disk so a --resume run can't overwrite the
+        # historical best checkpoint with a worse first epoch.
         self._best_metric: Optional[float] = None
+        best_file = os.path.join(self.directory, "best_metric.txt")
+        if os.path.exists(best_file):
+            try:
+                with open(best_file) as f:
+                    self._best_metric = float(f.read().strip())
+            except (OSError, ValueError):
+                pass
         self._ckptr = _ocp().StandardCheckpointer()
 
     def _save(self, name: str, state) -> None:

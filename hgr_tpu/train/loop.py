@@ -43,15 +43,21 @@ class EpochMetrics:
         # snapshot(), so updating never forces a host sync (unlike the
         # reference's per-step .cpu() metrics, train.py:67-73).
         self.sums: Dict[str, Any] = {}
-        self.count = 0
+        self.weight = 0.0  # total valid samples seen
         self.pose_acc_weighted = 0.0
         self.pose_cnt = 0.0
         self.conf = jnp.zeros((self.num_classes, self.num_classes))
 
     def update(self, metrics: Dict) -> None:
-        self.count += 1
+        # Scalar metrics are per-batch masked means; weight by the batch's
+        # valid-sample count so a padded tail batch contributes exactly
+        # its real samples (the reference never pads — drop_last=False
+        # DataLoaders, libs/load.py:289-305 — so this matches its
+        # full-split averages).
+        w = metrics.get("valid_cnt", 1.0)
+        self.weight = self.weight + w
         for k in ("total_loss", "class_loss", "joints_loss", "cls_f1score"):
-            self.sums[k] = self.sums.get(k, 0.0) + metrics[k]
+            self.sums[k] = self.sums.get(k, 0.0) + metrics[k] * w
         cnt = metrics["pose_cnt"]
         # running pose acc mirrors the reference's manual accumulators
         # (train.py:89-90: total_acc += avg_acc * cnt; count += cnt)
@@ -61,12 +67,14 @@ class EpochMetrics:
         self.conf = self.conf + metrics["conf_update"]
 
     def snapshot(self) -> Dict[str, float]:
-        out = {k: float(v) / max(self.count, 1)
+        weight = float(self.weight)
+        out = {k: float(v) / max(weight, 1.0)
                for k, v in self.sums.items()}
         pose_cnt = float(self.pose_cnt)
         out["pose_acc"] = (
             float(self.pose_acc_weighted) / pose_cnt if pose_cnt else 0.0)
         out["epoch_f1"] = float(macro_f1_from_confusion(self.conf))
+        out["samples"] = weight
         return out
 
 
@@ -86,12 +94,18 @@ def train_epoch(
     log_every: int = 50,
     prefix: str = "train",
     nan_guard_every: int = 50,
+    lr_fn: Optional[Callable] = None,
+    debug_hook: Optional[Callable] = None,
+    debug_every: int = 100,
 ) -> TrainState:
+    """One epoch. ``lr_fn(step) -> lr`` is logged at every logging line
+    (reference LearningRateMonitor, train.py:213); ``debug_hook(state,
+    batch, step)`` fires every ``debug_every`` TRAIN batches (reference
+    on_train_batch_end debug dumps, train.py:148-160)."""
     for i, batch in enumerate(loader):
-        batch.pop("valid", None)
         key, sub = jax.random.split(key)
-        state, m = step_fn(
-            state, {k: jnp.asarray(v) for k, v in batch.items()}, sub)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, m = step_fn(state, batch, sub)
         # Guard at logging cadence so the check doesn't force a sync
         # every step.
         if i % nan_guard_every == 0:
@@ -101,10 +115,14 @@ def train_epoch(
                     f"non-finite loss {loss} at step {int(state.step)}; "
                     "restore the 'last' checkpoint to resume")
         metrics.update(m)
+        if debug_hook is not None and i % debug_every == 0:
+            debug_hook(state, batch, int(state.step))
         if logger is not None and i % log_every == 0:
-            logger.log(int(state.step),
-                       {f"{prefix}/{k}": v
-                        for k, v in metrics.snapshot().items()})
+            line = {f"{prefix}/{k}": v
+                    for k, v in metrics.snapshot().items()}
+            if lr_fn is not None:
+                line["lr"] = float(lr_fn(int(state.step)))
+            logger.log(int(state.step), line)
     return state
 
 
@@ -116,7 +134,6 @@ def eval_epoch(
 ) -> Dict[str, float]:
     metrics.reset()
     for batch in loader:
-        batch.pop("valid", None)
         m = eval_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
         metrics.update(m)
     return metrics.snapshot()
@@ -133,9 +150,10 @@ def fit(
     save_path: str = "output/run",
     log_dir: str = "logs",
     run_name: str = "run",
-    debug_dump: Optional[Callable] = None,
+    debug_images: bool = False,
     mesh=None,
     tensor_parallel: bool = False,
+    lr_fn: Optional[Callable] = None,
 ) -> TrainState:
     """Full fit + test (reference train.py:190-240).
 
@@ -143,6 +161,13 @@ def fit(
     params replicated or ViT tensor-parallel) and every host batch is
     device_put with the batch sharding — the state must already be sharded
     (parallel.steps.shard_state).
+
+    ``debug_images`` dumps GT/pred/heatmap grids every
+    ``train_cfg.debug_every`` TRAIN batches and one val batch (with
+    attention overlays) per epoch — the reference's cadence
+    (train.py:148-174) — mesh-safe (outputs are gathered to host).
+    ``lr_fn(step)`` is logged alongside the train metrics (reference
+    LearningRateMonitor, train.py:213).
     """
     num_classes = data_cfg.num_classes
     aug = data_cfg.augments
@@ -151,6 +176,7 @@ def fit(
         num_classes=num_classes, sigma=train_cfg.sigma,
         image_size=model_cfg.image_size,
         heatmap_size=model_cfg.heatmap_size)
+    dbg_step = None
     if mesh is not None:
         from hgr_tpu.parallel.mesh import shard_batch
         from hgr_tpu.parallel.steps import (
@@ -159,7 +185,8 @@ def fit(
         )
 
         p_train = make_parallel_train_step(
-            mesh, aug, state, tensor_parallel=tensor_parallel, **step_kw)
+            mesh, aug, state, tensor_parallel=tensor_parallel,
+            class_loss_weight=train_cfg.class_loss_weight, **step_kw)
         p_eval = make_parallel_eval_step(
             mesh, state, tensor_parallel=tensor_parallel, **step_kw)
 
@@ -174,10 +201,50 @@ def fit(
         def eval_step(st, batch):
             with mesh:
                 return p_eval(st, shard_batch(batch, mesh))
+
+        if debug_images:
+            p_dbg = make_parallel_eval_step(
+                mesh, state, tensor_parallel=tensor_parallel,
+                return_outputs=True, **step_kw)
+
+            def dbg_step(st, batch):
+                with mesh:
+                    return p_dbg(st, shard_batch(batch, mesh))
     else:
         train_step = make_train_step(
             aug, class_loss_weight=train_cfg.class_loss_weight, **step_kw)
         eval_step = make_eval_step(**step_kw)
+        if debug_images:
+            dbg_step = make_eval_step(return_outputs=True, **step_kw)
+
+    debug_hook = None
+    dump_val_debug = None
+    if debug_images:
+        from hgr_tpu.utils.vis import save_debug_images
+
+        dbg_dir = os.path.join(save_path, "debug")
+        os.makedirs(dbg_dir, exist_ok=True)
+
+        def _dump(st, batch, name, with_attention):
+            _, outputs = dbg_step(st, batch)
+            outputs = jax.device_get(outputs)
+            save_debug_images(outputs, os.path.join(dbg_dir, name),
+                              with_attention=with_attention)
+
+        def debug_hook(st, batch, step):
+            # train dumps carry no attention overlay, like the reference
+            # (libs/vis.py:187-205 gates attention on the val prefix).
+            _dump(st, batch, f"train_{step}", with_attention=False)
+
+        _val_batch_cache = []
+
+        def dump_val_debug(st, epoch):
+            if not _val_batch_cache:
+                _val_batch_cache.append({
+                    k: jnp.asarray(v)
+                    for k, v in next(iter(val_loader)).items()})
+            _dump(st, _val_batch_cache[0], f"val_{epoch}",
+                  with_attention=True)
 
     logger = MetricLogger(log_dir, run_name)
     ckpt = CheckpointManager(os.path.join(save_path, "weight"))
@@ -190,7 +257,9 @@ def fit(
         train_metrics.reset()
         key, sub = jax.random.split(key)
         state = train_epoch(state, train_step, train_loader, sub,
-                            train_metrics, logger)
+                            train_metrics, logger, lr_fn=lr_fn,
+                            debug_hook=debug_hook,
+                            debug_every=train_cfg.debug_every)
         tr = train_metrics.snapshot()
 
         val = eval_epoch(state, eval_step, val_loader, val_metrics)
@@ -198,12 +267,14 @@ def fit(
                    {**{f"train/{k}": v for k, v in tr.items()},
                     **{f"val/{k}": v for k, v in val.items()},
                     "epoch": epoch,
+                    **({"lr": float(lr_fn(int(state.step)))}
+                       if lr_fn is not None else {}),
                     "epoch_time_s": time.time() - t0})
 
         ckpt.save_last(state)
         ckpt.maybe_save_best(state, val["total_loss"])
-        if debug_dump is not None:
-            debug_dump(state, epoch)
+        if dump_val_debug is not None:
+            dump_val_debug(state, epoch)
         print(f"epoch {epoch}: train_loss={tr['total_loss']:.4f} "
               f"val_loss={val['total_loss']:.4f} "
               f"val_f1={val['epoch_f1']:.4f} "

@@ -49,7 +49,8 @@ def _preprocess(batch: Dict[str, Array], key: Optional[Array],
 
 
 def _forward_and_metrics(apply_fn, params, batch_stats, data, num_classes,
-                         train: bool, class_loss_weight: float = 0.001):
+                         train: bool, class_loss_weight: float = 0.001,
+                         sample_mask=None):
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         (cls_out, hmap, attn), mutated = apply_fn(
@@ -62,8 +63,31 @@ def _forward_and_metrics(apply_fn, params, batch_stats, data, num_classes,
     hmap_nchw = heatmaps_to_nchw(hmap)
     total, parts = multitask_loss(
         cls_out, hmap_nchw, data["label"], data["target"],
-        data["target_weight"], class_loss_weight=class_loss_weight)
+        data["target_weight"], class_loss_weight=class_loss_weight,
+        sample_mask=sample_mask)
     return total, (parts, cls_out, hmap_nchw, attn, new_stats)
+
+
+def _step_metrics(data, parts, cls_out, hmap, num_classes, mask):
+    """Shared masked metric set; mask (B,) excludes tail-batch padding so
+    epoch metrics cover every sample exactly once (the reference
+    evaluates full splits, train.py:239-240 + drop_last=False loaders)."""
+    pred_label = jnp.argmax(cls_out, axis=-1)
+    f1 = batch_macro_f1(data["label"], pred_label, num_classes,
+                        sample_mask=mask)
+    _, avg_acc, cnt, _ = pck_accuracy(hmap, data["target"],
+                                      sample_mask=mask)
+    return {
+        **{k: v for k, v in parts.items()},
+        "cls_f1score": f1,
+        "pose_acc": avg_acc,
+        "pose_cnt": cnt,
+        "valid_cnt": (jnp.sum(mask) if mask is not None
+                      else jnp.float32(cls_out.shape[0])),
+        "conf_update": confusion_update(
+            jnp.zeros((num_classes, num_classes)), data["label"],
+            pred_label, sample_mask=mask),
+    }, pred_label
 
 
 def make_train_step(
@@ -83,6 +107,7 @@ def make_train_step(
     """
 
     def train_step(state: TrainState, batch: Dict[str, Array], key: Array):
+        mask = batch.get("valid")
         data = _preprocess(batch, key, aug_cfg, sigma, image_size,
                            heatmap_size)
 
@@ -90,25 +115,15 @@ def make_train_step(
             return _forward_and_metrics(
                 state.apply_fn, params, state.batch_stats, data,
                 num_classes, train=True,
-                class_loss_weight=class_loss_weight)
+                class_loss_weight=class_loss_weight, sample_mask=mask)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, (parts, cls_out, hmap, attn, new_stats)), grads = grad_fn(
             state.params)
         new_state = state.apply_gradients(grads, new_stats)
 
-        pred_label = jnp.argmax(cls_out, axis=-1)
-        f1 = batch_macro_f1(data["label"], pred_label, num_classes)
-        _, avg_acc, cnt, _ = pck_accuracy(hmap, data["target"])
-        metrics = {
-            **{k: v for k, v in parts.items()},
-            "cls_f1score": f1,
-            "pose_acc": avg_acc,
-            "pose_cnt": cnt,
-            "conf_update": confusion_update(
-                jnp.zeros((num_classes, num_classes)), data["label"],
-                pred_label),
-        }
+        metrics, _ = _step_metrics(data, parts, cls_out, hmap, num_classes,
+                                   mask)
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
@@ -128,23 +143,14 @@ def make_eval_step(
     """
 
     def eval_step(state: TrainState, batch: Dict[str, Array]):
+        mask = batch.get("valid")
         data = _preprocess(batch, None, None, sigma, image_size,
                            heatmap_size)
         total, (parts, cls_out, hmap, attn, _) = _forward_and_metrics(
             state.apply_fn, state.params, state.batch_stats, data,
-            num_classes, train=False)
-        pred_label = jnp.argmax(cls_out, axis=-1)
-        f1 = batch_macro_f1(data["label"], pred_label, num_classes)
-        _, avg_acc, cnt, _ = pck_accuracy(hmap, data["target"])
-        metrics = {
-            **{k: v for k, v in parts.items()},
-            "cls_f1score": f1,
-            "pose_acc": avg_acc,
-            "pose_cnt": cnt,
-            "conf_update": confusion_update(
-                jnp.zeros((num_classes, num_classes)), data["label"],
-                pred_label),
-        }
+            num_classes, train=False, sample_mask=mask)
+        metrics, pred_label = _step_metrics(data, parts, cls_out, hmap,
+                                            num_classes, mask)
         if return_outputs:
             return metrics, {
                 "image": data["image"],

@@ -5,11 +5,13 @@ externally (reference README.md:84, detect.py:67). This module converts
 its initializers into hgr_tpu.models.yolo.YOLOv7Tiny variables so the
 detect pipeline runs natively on TPU.
 
-Requires the ``onnx`` package (NOT baked into this image — the converter
-raises a clear error when it's missing; use the .npz path in that case).
-The converter matches initializers by graph traversal order of Conv
-nodes, which is stable for the yolov7 exporter's topologically-sorted
-graphs.
+No third-party ``onnx`` package needed: parsing goes through the
+first-party wire-format reader (hgr_tpu.utils.onnx_reader). The
+converter matches initializers by graph order of Conv nodes, which for
+the yolov7 exporter (torch.onnx tracing) is the module execution order —
+exactly the order YOLOv7Tiny.__call__ declares its ConvActs
+(CONV_ORDER below); validated end-to-end by tests/test_onnx_port.py
+against a faithful torch yolov7-tiny.
 """
 
 from __future__ import annotations
@@ -41,23 +43,18 @@ DETECT_CONVS = ["detect0", "detect1", "detect2"]
 
 
 def port_yolov7_tiny_onnx(path: str) -> Dict[str, Any]:
-    try:
-        import onnx
-        from onnx import numpy_helper
-    except ImportError as e:
-        raise ImportError(
-            "the 'onnx' package is required to convert .onnx detector "
-            "weights; convert offline and supply a .npz instead "
-            "(hgr_tpu.models.yolo.load_npz_weights format)") from e
+    """Convert a yolov7-tiny .onnx (BN fused by the exporter) into
+    YOLOv7Tiny variables {params, batch_stats}."""
+    from hgr_tpu.utils.onnx_reader import load_onnx_graph
 
-    model = onnx.load(path)
-    inits = {i.name: numpy_helper.to_array(i) for i in model.graph.initializer}
+    graph = load_onnx_graph(path)
+    inits = {name: t.to_numpy() for name, t in graph.initializers.items()}
 
     convs = []
-    for node in model.graph.node:
+    for node in graph.nodes:
         if node.op_type == "Conv":
-            w = inits.get(node.input[1])
-            b = inits.get(node.input[2]) if len(node.input) > 2 else None
+            w = inits.get(node.inputs[1])
+            b = inits.get(node.inputs[2]) if len(node.inputs) > 2 else None
             convs.append((w, b))
 
     params: Dict[str, Any] = {}
@@ -71,7 +68,13 @@ def port_yolov7_tiny_onnx(path: str) -> Dict[str, Any]:
         node[keys[-1]] = value
 
     # The yolov7 ONNX exporter fuses BN into conv (conv has bias); we
-    # fold that into identity BN here.
+    # fold that into an EXACT identity BN: with var = 1 - eps the BN's
+    # 1/sqrt(var + eps) factor is exactly 1 (plain var=1 would scale
+    # every conv by 1/sqrt(1 + 1e-3) ≈ 0.9995, compounding over ~55
+    # layers into a real deviation).
+    from hgr_tpu.models.yolo import BN_EPS
+
+    identity_var = 1.0 - BN_EPS
     n_named = len(CONV_ORDER)
     if len(convs) < n_named + len(DETECT_CONVS):
         raise ValueError(
@@ -86,7 +89,8 @@ def port_yolov7_tiny_onnx(path: str) -> Dict[str, Any]:
             b.astype(np.float32) if b is not None else np.zeros((c,),
                                                                 np.float32))
         put(stats, f"{name}/bn/mean", np.zeros((c,), np.float32))
-        put(stats, f"{name}/bn/var", np.ones((c,), np.float32))
+        put(stats, f"{name}/bn/var",
+            np.full((c,), identity_var, np.float32))
     for name, (w, b) in zip(DETECT_CONVS, convs[n_named:n_named + 3]):
         put(params, f"{name}/kernel", np.transpose(w, (2, 3, 1, 0)))
         put(params, f"{name}/bias",

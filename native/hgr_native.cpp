@@ -117,14 +117,15 @@ void ResizeBilinear(const uint8_t* src, int sw, int sh, int src_stride,
 }
 
 // Stage one decoded image into the canvas; mirrors
-// hgr_tpu/data/pipeline.py:stage_image (window = central 0.75*max(h,w),
-// downscale only when the window exceeds the canvas; affine maps
-// original -> canvas coords).
+// hgr_tpu/data/pipeline.py:stage_image (window = central
+// window_frac*max(h,w) — derived from the augment config by
+// pipeline.staging_window_fraction; downscale only when the window
+// exceeds the canvas; affine maps original -> canvas coords).
 void StageImage(const uint8_t* img, int w, int h, uint8_t* canvas,
-                int canvas_size, float* affine /*6 floats*/,
-                float* size_hw /*2 floats*/) {
+                int canvas_size, float window_frac,
+                float* affine /*6 floats*/, float* size_hw /*2 floats*/) {
   const int maxhw = h > w ? h : w;
-  int win = static_cast<int>(0.75 * maxhw + 0.999999);
+  int win = static_cast<int>(window_frac * maxhw + 0.999999);
   float cx = w / 2.0f, cy = h / 2.0f;
   int x0 = static_cast<int>(cx - win / 2.0f);
   if (x0 < 0) x0 = 0;
@@ -241,18 +242,23 @@ int hgr_decode_jpeg(const char* path, uint8_t* out, int64_t cap, int* width,
 }
 
 // Decode + stage a batch of JPEGs concurrently.
-//   paths:    array of n C strings
-//   canvases: n * canvas_size * canvas_size * 3 uint8 (out)
-//   affines:  n * 6 float32 (out, row-major 2x3)
-//   sizes_hw: n * 2 float32 (out)
-//   ok:       n uint8 (out, 1 = decoded fine)
+//   paths:       array of n C strings
+//   canvases:    n * canvas_size * canvas_size * 3 uint8 (out)
+//   window_frac: central-window fraction of max(h, w) to stage
+//   affines:     n * 6 float32 (out, row-major 2x3)
+//   sizes_hw:    n * 2 float32 (out)
+//   ok:          n uint8 (out, 1 = decoded fine)
 // Returns number of failures.
-int hgr_stage_batch(const char** paths, int n, uint8_t* canvases,
-                    int canvas_size, float* affines, float* sizes_hw,
-                    uint8_t* ok, int num_threads) {
+int hgr_stage_batch2(const char** paths, int n, uint8_t* canvases,
+                     int canvas_size, float window_frac, float* affines,
+                     float* sizes_hw, uint8_t* ok, int num_threads) {
   ThreadPool* pool = GetPool(num_threads > 0 ? num_threads : 4);
   std::atomic<int> failures{0};
-  std::atomic<int> done{0};
+  // Completion is tracked under done_mu (not an atomic): the counter may
+  // only become observable as == n while the worker still holds the
+  // mutex, so the waiter can never destroy done_mu/done_cv (stack
+  // locals) while a worker is between "count" and "notify".
+  int done = 0;
   std::mutex done_mu;
   std::condition_variable done_cv;
 
@@ -265,7 +271,8 @@ int hgr_stage_batch(const char** paths, int n, uint8_t* canvases,
       bool success = DecodeJpegFile(paths[i], &img, &w, &h);
       if (success) {
         StageImage(img.data(), w, h, canvases + i * canvas_bytes,
-                   canvas_size, affines + i * 6, sizes_hw + i * 2);
+                   canvas_size, window_frac, affines + i * 6,
+                   sizes_hw + i * 2);
         ok[i] = 1;
       } else {
         std::memset(canvases + i * canvas_bytes, 0, canvas_bytes);
@@ -277,14 +284,15 @@ int hgr_stage_batch(const char** paths, int n, uint8_t* canvases,
         ok[i] = 0;
         failures.fetch_add(1);
       }
-      if (done.fetch_add(1) + 1 == n) {
+      {
         std::lock_guard<std::mutex> lock(done_mu);
-        done_cv.notify_all();
+        ++done;
+        if (done == n) done_cv.notify_all();
       }
     });
   }
   std::unique_lock<std::mutex> lock(done_mu);
-  done_cv.wait(lock, [&] { return done.load() == n; });
+  done_cv.wait(lock, [&] { return done == n; });
   return failures.load();
 }
 

@@ -78,7 +78,10 @@ def test_loader_eval_padding(synth_dir):
                          drop_last=False, num_workers=1)
     batches = list(loader)
     assert len(batches) == 2
-    assert int(batches[-1]["valid"]) == 3  # 8 = 5 + 3
+    # 8 = 5 + 3: tail batch carries a per-sample mask (3 real, 2 padded)
+    np.testing.assert_array_equal(
+        batches[-1]["valid"], np.array([1, 1, 1, 0, 0], np.float32))
+    assert int(batches[-1]["valid"].sum()) == 3
 
 
 def test_overfit_synthetic(synth_dir):
