@@ -9,13 +9,21 @@ tracking:
   3. train step (device augment -> joint loss -> AdamW update)
   4. end-to-end frame: detect -> crop -> classify (random det weights)
   5. data-parallel train step on the available mesh (all local devices)
+  6. augment+forward (the deployed/train INPUT path: uint8 canvas ->
+     fused jitter+warp+normalize -> 2-output forward) at large batch
+  7. warp-kernel canvas staging dtype comparison (f32/bf16/u8 HBM reads)
+  8. full-model forward INCLUDING the attention map output at B 512 and
+     4096 (the 3-output training/debug forward; this config decided the
+     round-2 win-or-die A/B that removed the Pallas attention kernel:
+     pallas batch-tiled 75.5 ms vs XLA 67.3 ms @B=512, OOM @4096)
 
-Usage: python bench_suite.py [--iters 20] [--configs 1,2,3,4,5]
+Usage: python bench_suite.py [--iters 20] [--configs 1,...,8]
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -54,6 +62,7 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--configs", type=str, default="1,2,3,4,5")
     parser.add_argument("--train_batch", type=int, default=256)
+    parser.add_argument("--aug_batch", type=int, default=2048)
     args = parser.parse_args()
     configs = {int(c) for c in args.configs.split(",")}
 
@@ -209,6 +218,76 @@ def main() -> None:
             med = float(np.median(times))
             emit("data-parallel train step", B / med, "crops/s",
                  devices=n, global_batch=B, step_ms=round(med * 1e3, 3))
+
+    if 6 in configs:
+        from hgr_tpu.data.pipeline import (
+            apply_augment_batch,
+            draw_augment_params,
+        )
+
+        B, S = args.aug_batch, 256
+        batch6 = {
+            "canvas": jnp.asarray(rng.randint(0, 255, (B, S, S, 3)),
+                                  jnp.uint8),
+            "orig_to_canvas": jnp.tile(
+                jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]]), (B, 1, 1)),
+            "sizes_hw": jnp.full((B, 2), float(S)),
+            "joints": jnp.asarray(rng.rand(B, 21, 2) * S, jnp.float32),
+            "joints_vis": jnp.ones((B, 21)),
+        }
+        aug = AugmentConfig()
+
+        @jax.jit
+        def f6(batch, key):
+            params = draw_augment_params(key, B, batch["sizes_hw"], aug)
+            data = apply_augment_batch(
+                batch["canvas"], batch["orig_to_canvas"],
+                batch["sizes_hw"], batch["joints"], batch["joints_vis"],
+                params)
+            l, h, _ = model.apply(variables, data["image"], train=False)
+            return l, h, data["target"]
+
+        key6 = jax.random.PRNGKey(1)
+        med = _timeit(f6, batch6, key6, iters=args.iters)
+        emit("e2e input path (u8 canvas->augment->fwd)", B / med,
+             "crops/s", batch=B, step_ms=round(med * 1e3, 3))
+
+    if 7 in configs:
+        from hgr_tpu.ops.warp_pallas import warp_twopass_pallas
+
+        B, S = 512, 256
+        canvas7 = jnp.asarray(rng.randint(0, 255, (B, S, S, 3)), jnp.uint8)
+        theta = 0.3
+        m7 = jnp.tile(jnp.asarray(
+            [[np.cos(theta), -np.sin(theta), 40.0],
+             [np.sin(theta), np.cos(theta), 10.0]], np.float32),
+            (B, 1, 1))
+        gains = jnp.ones((B, 3)) * 1.1
+        dj = jnp.ones((B,))
+        for dt in ("float32", "bfloat16", "uint8"):
+            try:
+                fn = jax.jit(functools.partial(
+                    warp_twopass_pallas, out_size=(192, 192),
+                    jitter_gains=gains, do_jitter=dj, canvas_dtype=dt))
+                med = _timeit(fn, canvas7, m7, iters=args.iters)
+                emit(f"warp kernel canvas_dtype={dt}", B / med, "crops/s",
+                     batch=B, ms=round(med * 1e3, 3))
+            except Exception as e:  # noqa: BLE001 — probing toolchain
+                emit(f"warp kernel canvas_dtype={dt}", -1, "crops/s",
+                     error=str(e)[:160])
+
+    if 8 in configs:
+        for B in (512, 4096):
+            x8 = jnp.asarray(rng.randn(B, 192, 192, 3), jnp.bfloat16)
+
+            @jax.jit
+            def f8(x):
+                l, h, a = model.apply(variables, x, train=False)
+                return l, h, a
+
+            med = _timeit(f8, x8, iters=args.iters)
+            emit(f"fwd+attnmap B={B}", B / med, "crops/s",
+                 ms=round(med * 1e3, 3))
 
 
 if __name__ == "__main__":

@@ -96,7 +96,6 @@ class ModelConfig:
     mlp_dim: int = 256
     # TPU knobs (no reference equivalent — compute dtype selection).
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
-    use_pallas_attention: bool = False
 
     @property
     def feature_size(self) -> Tuple[int, int]:

@@ -269,14 +269,16 @@ def apply_augment_batch(
         kernel_ok = (canvas.shape[1] == canvas.shape[2]) and s % 128 == 0
         warp_method = "pallas" if (on_tpu and kernel_ok) else "exact"
     if warp_method == "pallas":
+        from hgr_tpu.ops import warp_pallas
         from hgr_tpu.ops.warp_pallas import warp_twopass_pallas
 
-        # uint8 canvas goes straight into the kernel (cast in VMEM);
-        # jitter math is skipped statically when disabled (eval paths).
+        # jitter math is skipped statically when disabled (eval paths);
+        # the canvas staging dtype is the measured-best for the toolchain.
         crop = warp_twopass_pallas(
             canvas, m_canvas, (out_h, out_w),
             jitter_gains=(params.jitter_gains if enable_jitter else None),
-            do_jitter=params.do_jitter)
+            do_jitter=params.do_jitter,
+            canvas_dtype=warp_pallas.PREFERRED_CANVAS_DTYPE)
         crop = crop.astype(jnp.float32)
     else:
         img = canvas.astype(jnp.float32)

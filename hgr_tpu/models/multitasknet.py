@@ -39,7 +39,6 @@ class MultiTaskNet(nn.Module):
     mlp_dim: int = 256
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig) -> "MultiTaskNet":
@@ -55,7 +54,6 @@ class MultiTaskNet(nn.Module):
             head_dim=cfg.head_dim,
             mlp_dim=cfg.mlp_dim,
             dtype=dtype,
-            use_pallas=cfg.use_pallas_attention,
         )
 
     @nn.compact
@@ -80,7 +78,6 @@ class MultiTaskNet(nn.Module):
             mlp_dim=self.mlp_dim,
             dtype=self.dtype,
             precision=self.precision,
-            use_pallas=self.use_pallas,
             name="decoder")(feats)
         return cls_out, hmap_out, attnmap
 

@@ -14,8 +14,11 @@ Capability parity with reference model/transformer.py:29-152:
 TPU design notes: attention runs over 145 tokens x 256 dim — tiny — so
 the whole block is one fused XLA region; softmax and LayerNorm statistics
 are computed in float32 even when compute dtype is bfloat16. An optional
-fused Pallas attention kernel can be swapped in via ``use_pallas``
-(hgr_tpu.ops.attention_pallas), benchmarked against the XLA path.
+a fused Pallas attention kernel was built and benchmarked against this
+path in round 2 and LOST (batch-tiled at 8 (b,h) pairs/program, B=512:
+75.5 vs 67.3 ms full model; OOM at B=4096 from the padded attn buffer)
+— XLA's fusion of the 152-token chain is already near-optimal, so the
+kernel was removed (kernels that win or die; BENCH_LOG.md r2).
 """
 
 from __future__ import annotations
@@ -62,7 +65,6 @@ class Attention(nn.Module):
     head_dim: int
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array]:
@@ -81,19 +83,14 @@ class Attention(nn.Module):
 
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
 
-        if self.use_pallas:
-            from hgr_tpu.ops.attention_pallas import fused_attention
-
-            out, attn = fused_attention(q, k, v, scale)
-        else:
-            dots = jnp.einsum(
-                "bhid,bhjd->bhij", q, k, precision=self.precision
-            ).astype(jnp.float32) * scale
-            attn = jax.nn.softmax(dots, axis=-1)
-            out = jnp.einsum(
-                "bhij,bhjd->bhid", attn.astype(self.dtype), v,
-                precision=self.precision,
-            )
+        dots = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, precision=self.precision
+        ).astype(jnp.float32) * scale
+        attn = jax.nn.softmax(dots, axis=-1)
+        out = jnp.einsum(
+            "bhij,bhjd->bhid", attn.astype(self.dtype), v,
+            precision=self.precision,
+        )
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         # project_out is always true for the reference config
@@ -115,15 +112,13 @@ class Transformer(nn.Module):
     mlp_dim: int
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    use_pallas: bool = False
-
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array]:
         attnmap = None
         for i in range(self.depth):
             message, attnmap = Attention(
                 self.dim, self.heads, self.head_dim, dtype=self.dtype,
-                precision=self.precision, use_pallas=self.use_pallas,
+                precision=self.precision,
                 name=f"layers_{i}_attn")(x)
             x = message + x
             x = FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
@@ -151,8 +146,6 @@ class ViT(nn.Module):
     mlp_dim: int
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    use_pallas: bool = False
-
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
         b, h, w, c = x.shape
@@ -172,7 +165,7 @@ class ViT(nn.Module):
         tokens, attnmap = Transformer(
             self.dim, self.depth, self.heads, self.head_dim, self.mlp_dim,
             dtype=self.dtype, precision=self.precision,
-            use_pallas=self.use_pallas, name="transformer")(tokens)
+            name="transformer")(tokens)
 
         cls_feat = tokens[:, 0]
         hmap_feat = tokens[:, 1:]

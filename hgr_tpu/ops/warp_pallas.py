@@ -45,6 +45,11 @@ from hgr_tpu.ops.affine import invert_affine
 Array = jax.Array
 LANE = 128
 
+# Canvas HBM staging dtype the input pipeline uses (see
+# warp_twopass_pallas(canvas_dtype=...)); set from TPU measurements —
+# bench_suite config 7 compares the variants.
+PREFERRED_CANVAS_DTYPE = "float32"
+
 
 def _chunked_lane_gather(panels, idx):
     """Gather along the last axis of a (S, S) value stored as a list of
@@ -191,23 +196,29 @@ def warp_twopass_pallas(
     interpret: bool = False,
     jitter_gains: Array = None,  # (B, 3) HSV gains, fused when given
     do_jitter: Array = None,  # (B,) {0., 1.}
+    canvas_dtype: str = "float32",  # 'float32' | 'bfloat16' | 'uint8'
 ) -> Array:
     """Pallas-accelerated two-pass warp, optionally fusing the HSV jitter
     (reference libs/augmentations.py:22-45) into the same VMEM pass —
     the standalone device jitter costs another full canvas HBM round
     trip (~43 ms at 512x256x256). Same contract as
     ops.warp.batched_affine_warp_twopass (square canvas, S % 128 == 0,
-    3 channels)."""
+    3 channels).
+
+    ``canvas_dtype`` picks the dtype the canvas is STAGED to HBM in
+    before the kernel reads it (the kernel always computes in f32):
+    'float32' reads 4x the bytes of the uint8 source, 'bfloat16' 2x,
+    'uint8' 1x (requires the Mosaic toolchain to cast u8 in-kernel —
+    probe with a try/except compile; round-1 toolchain could not)."""
     out_h, out_w = int(out_size[0]), int(out_size[1])
     b, s_dim, s_w, c = images.shape
     assert s_dim == s_w and s_dim % LANE == 0, (
         "canvas must be square with side a multiple of 128")
     assert c == 3, "fused warp expects 3-channel BGR images"
     orig_dtype = images.dtype
-    # NOTE: Mosaic on this toolchain cannot cast uint8->f32 in-kernel, so
-    # the canvas is widened to f32 on the XLA side (4x the HBM read; a
-    # future in-kernel u8 load would reclaim it).
-    imgs = images.astype(jnp.float32)
+    stage_dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                "uint8": jnp.uint8}[canvas_dtype]
+    imgs = images.astype(stage_dt)
 
     minv = invert_affine(jnp.asarray(m, jnp.float32))
     p_, q_, r_ = minv[:, 0, 0], minv[:, 0, 1], minv[:, 0, 2]

@@ -71,3 +71,23 @@ def test_pallas_fused_jitter_matches_xla_chain():
     diff = np.abs(got - ref)
     assert diff.max() <= 1.0 + 1e-5, diff.max()
     assert (diff > 0.02).mean() < 0.01, (diff > 0.02).mean()
+
+
+def test_canvas_staging_dtypes_exact():
+    """bf16/u8 canvas staging must be bit-equal to f32 staging: uint8
+    values are exactly representable in bfloat16 (8 significand bits)
+    and the kernel computes in f32 regardless."""
+    b, s = 2, 128
+    imgs = RNG.randint(0, 255, (b, s, s, 3)).astype(np.uint8)
+    m = build_affine(
+        jnp.tile(jnp.asarray([64.0, 64.0]), (b, 1)),
+        jnp.full((b,), 0.9), jnp.full((b,), -15.0),
+        jnp.full((b,), 44.8), (96, 96))
+    ref = np.asarray(warp_pallas.warp_twopass_pallas(
+        jnp.asarray(imgs), m, (96, 96), interpret=True,
+        canvas_dtype="float32"))
+    for dt in ("bfloat16", "uint8"):
+        got = np.asarray(warp_pallas.warp_twopass_pallas(
+            jnp.asarray(imgs), m, (96, 96), interpret=True,
+            canvas_dtype=dt))
+        np.testing.assert_array_equal(got, ref, err_msg=dt)
