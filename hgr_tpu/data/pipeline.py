@@ -265,12 +265,23 @@ def apply_augment_batch(
     # jitter costs another ~43ms canvas round-trip.
     if warp_method == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        s = canvas.shape[1]
-        kernel_ok = (canvas.shape[1] == canvas.shape[2]) and s % 128 == 0
+        kernel_ok = canvas.shape[1] == canvas.shape[2]
         warp_method = "pallas" if (on_tpu and kernel_ok) else "exact"
     if warp_method == "pallas":
         from hgr_tpu.ops import warp_pallas
         from hgr_tpu.ops.warp_pallas import warp_twopass_pallas
+
+        # The kernel tiles in 128-lane panels; pad the canvas up to the
+        # next multiple of 128 ON DEVICE. This decouples the host canvas
+        # size (host->device bytes: a 192 canvas uploads 44% less than
+        # 256) from the kernel tiling. The pad is zero-fill beyond the
+        # staged window — exactly what a larger staged canvas would hold,
+        # so results are identical (cv2 BORDER_CONSTANT zeros).
+        s = canvas.shape[1]
+        s_pad = ((s + 127) // 128) * 128
+        if s_pad != s:
+            canvas = jnp.pad(
+                canvas, ((0, 0), (0, s_pad - s), (0, s_pad - s), (0, 0)))
 
         # jitter math is skipped statically when disabled (eval paths);
         # the canvas staging dtype is the measured-best for the toolchain.

@@ -45,6 +45,11 @@ from hgr_tpu.ops.affine import invert_affine
 Array = jax.Array
 LANE = 128
 
+# Largest per-pallas_call batch: SMEM (1 MB) holds the scalar-prefetched
+# (B, 10) params plus Mosaic grid bookkeeping; B=2048 overflowed it by
+# 144 bytes on this toolchain, B=1024 fits. Larger batches are chunked.
+_MAX_GRID_B = 1024
+
 # Canvas HBM staging dtype the input pipeline uses (see
 # warp_twopass_pallas(canvas_dtype=...)); set from TPU measurements —
 # bench_suite config 7 compares the variants.
@@ -255,22 +260,37 @@ def warp_twopass_pallas(
 
     kernel = functools.partial(_warp_kernel, s_dim=s_dim,
                                with_jitter=with_jitter)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 3, s_dim, s_dim),
-                         lambda i, params: (i, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 3, s_dim, s_dim),
-                               lambda i, params: (i, 0, 0, 0)),
-    )
-    out_chw = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c, s_dim, s_dim), jnp.float32),
-        interpret=interpret,
-    )(params, chw)
+
+    def run_chunk(params_c: Array, chw_c: Array) -> Array:
+        nb = params_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 3, s_dim, s_dim),
+                             lambda i, params: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 3, s_dim, s_dim),
+                                   lambda i, params: (i, 0, 0, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (nb, c, s_dim, s_dim), jnp.float32),
+            interpret=interpret,
+        )(params_c, chw_c)
+
+    # Scalar-prefetch SMEM + grid bookkeeping overflow the 1 MB SMEM just
+    # past B=1024 on this toolchain (measured: B=2048 exceeds it by 144
+    # bytes) — chunk the grid so any batch size compiles; each chunk is an
+    # independent pallas_call XLA schedules back-to-back.
+    if b <= _MAX_GRID_B:
+        out_chw = run_chunk(params, chw)
+    else:
+        out_chw = jnp.concatenate(
+            [run_chunk(params[s:s + _MAX_GRID_B], chw[s:s + _MAX_GRID_B])
+             for s in range(0, b, _MAX_GRID_B)], axis=0)
 
     out = jnp.moveaxis(out_chw, 1, -1)[:, :out_h, :out_w, :]
 

@@ -47,6 +47,7 @@ class EpochMetrics:
         self.pose_acc_weighted = 0.0
         self.pose_cnt = 0.0
         self.conf = jnp.zeros((self.num_classes, self.num_classes))
+        self.loader_wait_s = 0.0  # host time blocked on the loader
 
     def update(self, metrics: Dict) -> None:
         # Scalar metrics are per-batch masked means; weight by the batch's
@@ -75,6 +76,7 @@ class EpochMetrics:
             float(self.pose_acc_weighted) / pose_cnt if pose_cnt else 0.0)
         out["epoch_f1"] = float(macro_f1_from_confusion(self.conf))
         out["samples"] = weight
+        out["loader_wait_s"] = self.loader_wait_s
         return out
 
 
@@ -101,8 +103,20 @@ def train_epoch(
     """One epoch. ``lr_fn(step) -> lr`` is logged at every logging line
     (reference LearningRateMonitor, train.py:213); ``debug_hook(state,
     batch, step)`` fires every ``debug_every`` TRAIN batches (reference
-    on_train_batch_end debug dumps, train.py:148-160)."""
-    for i, batch in enumerate(loader):
+    on_train_batch_end debug dumps, train.py:148-160).
+
+    Starvation accounting: time spent blocked on the host loader is
+    accumulated into ``metrics.loader_wait_s`` (device work is async —
+    if the loader keeps up this stays near zero while the epoch wall
+    clock is upload+compute bound)."""
+    it = iter(loader)
+    i = 0
+    while True:
+        t_wait = time.perf_counter()
+        batch = next(it, None)
+        metrics.loader_wait_s += time.perf_counter() - t_wait
+        if batch is None:
+            break
         key, sub = jax.random.split(key)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, m = step_fn(state, batch, sub)
@@ -123,6 +137,7 @@ def train_epoch(
             if lr_fn is not None:
                 line["lr"] = float(lr_fn(int(state.step)))
             logger.log(int(state.step), line)
+        i += 1
     return state
 
 

@@ -91,3 +91,47 @@ def test_canvas_staging_dtypes_exact():
             jnp.asarray(imgs), m, (96, 96), interpret=True,
             canvas_dtype=dt))
         np.testing.assert_array_equal(got, ref, err_msg=dt)
+
+
+def test_warp_pallas_chunked_large_batch(monkeypatch):
+    """Batches past _MAX_GRID_B split into multiple pallas_calls and must
+    equal the single-chunk path exactly (SMEM cap workaround)."""
+    import hgr_tpu.ops.warp_pallas as wp
+
+    rng = np.random.RandomState(11)
+    b, s = 6, 128
+    imgs = rng.randint(0, 255, (b, s, s, 3)).astype(np.float32)
+    theta = 0.25
+    m = np.tile(np.asarray(
+        [[np.cos(theta), -np.sin(theta), 12.0],
+         [np.sin(theta), np.cos(theta), -4.0]], np.float32), (b, 1, 1))
+    ref = wp.warp_twopass_pallas(
+        jnp.asarray(imgs), jnp.asarray(m), (96, 96), interpret=True)
+    monkeypatch.setattr(wp, "_MAX_GRID_B", 4)  # forces 4+2 chunking
+    chunked = wp.warp_twopass_pallas(
+        jnp.asarray(imgs), jnp.asarray(m), (96, 96), interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(chunked))
+
+
+def test_warp_pallas_padded_canvas_matches_unpadded():
+    """Zero-padding a canvas up to the 128-multiple the kernel needs must
+    not change the warp (the pipeline pads non-multiple canvases on
+    device, hgr_tpu/data/pipeline.py): samples only ever land inside the
+    staged window, and cv2 BORDER_CONSTANT fills zeros beyond it either
+    way."""
+    rng = np.random.RandomState(3)
+    b, s = 3, 96  # pads to 128
+    imgs = rng.randint(0, 255, (b, s, s, 3)).astype(np.float32)
+    theta = -0.2
+    m = np.tile(np.asarray(
+        [[1.1 * np.cos(theta), -1.1 * np.sin(theta), 8.0],
+         [1.1 * np.sin(theta), 1.1 * np.cos(theta), 6.0]], np.float32),
+        (b, 1, 1))
+    golden = batched_affine_warp_twopass(jnp.asarray(imgs),
+                                         jnp.asarray(m), (64, 64))
+    padded = np.zeros((b, 128, 128, 3), np.float32)
+    padded[:, :s, :s] = imgs
+    out = warp_pallas.warp_twopass_pallas(
+        jnp.asarray(padded), jnp.asarray(m), (64, 64), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
+                               atol=1e-2)
