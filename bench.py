@@ -55,7 +55,8 @@ def main() -> None:
             params = draw_augment_params(key, canvas_u8.shape[0], sizes, cfg)
             data = apply_augment_batch(canvas_u8, a, sizes, joints, vis,
                                        params)
-            return model.apply(variables, data["image"], train=False)
+            return model.apply(variables, data["image"], train=False,
+                               need_attnmap=False)
 
         rng = np.random.RandomState(0)
         b = args.batch
@@ -75,7 +76,8 @@ def main() -> None:
         # drops the attention map, export.py:43-45), bf16 activations.
         @jax.jit
         def fwd(x):
-            logits, hmap, _ = model.apply(variables, x, train=False)
+            logits, hmap, _ = model.apply(variables, x, train=False,
+                                          need_attnmap=False)
             return logits, hmap
 
         x = jnp.asarray(

@@ -90,7 +90,8 @@ def main() -> None:
     if 1 in configs:
         @jax.jit
         def f1(x):
-            l, h, _ = model.apply(variables, x, train=False)
+            l, h, _ = model.apply(variables, x, train=False,
+                                  need_attnmap=False)
             return l, h
 
         x1 = jnp.asarray(rng.randn(1, 192, 192, 3), jnp.bfloat16)
@@ -100,7 +101,8 @@ def main() -> None:
     if 2 in configs:
         @jax.jit
         def f2(x):
-            l, h, _ = model.apply(variables, x, train=False)
+            l, h, _ = model.apply(variables, x, train=False,
+                                  need_attnmap=False)
             preds, maxv = get_max_preds(heatmaps_to_nchw(h))
             return jnp.argmax(l, -1), preds
 
@@ -244,7 +246,8 @@ def main() -> None:
                 batch["canvas"], batch["orig_to_canvas"],
                 batch["sizes_hw"], batch["joints"], batch["joints_vis"],
                 params)
-            l, h, _ = model.apply(variables, data["image"], train=False)
+            l, h, _ = model.apply(variables, data["image"], train=False,
+                                  need_attnmap=False)
             return l, h, data["target"]
 
         key6 = jax.random.PRNGKey(1)

@@ -125,7 +125,7 @@ class HandGesturePipeline:
             cls_in = (crop - mean) / std
 
             logits, hmap, _ = self.classifier.apply(
-                self.cls_vars, cls_in, train=False)
+                self.cls_vars, cls_in, train=False, need_attnmap=False)
             labels = jnp.argmax(logits, axis=-1)  # (B,)
             hmap_nchw = heatmaps_to_nchw(hmap)
             lm, _ = get_max_preds(hmap_nchw)  # (B, J, 2)

@@ -30,7 +30,8 @@ def make_inference_fn(model: MultiTaskNet, variables: Dict[str, Any]
     surface (reference export.py:42-45)."""
 
     def fwd(x):
-        logits, hmap, _ = model.apply(variables, x, train=False)
+        logits, hmap, _ = model.apply(variables, x, train=False,
+                                      need_attnmap=False)
         return logits, heatmaps_to_nchw(hmap)
 
     return fwd

@@ -58,8 +58,12 @@ class MultiTaskNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, train: bool = False
-    ) -> Tuple[Array, Array, Array]:
+        self, x: Array, train: bool = False, need_attnmap: bool = True
+    ) -> Tuple[Array, Array, Optional[Array]]:
+        """``need_attnmap=False`` (train/eval/serving paths that never
+        consume the map) lets every attention layer take the fused
+        no-map Pallas core (ops/attention_pallas.py); the returned third
+        element is then None."""
         x = x.astype(self.dtype)
         feats = GELANNet(self.backbone, dtype=self.dtype,
                          precision=self.precision, name="encoder")(x, train)
@@ -78,7 +82,7 @@ class MultiTaskNet(nn.Module):
             mlp_dim=self.mlp_dim,
             dtype=self.dtype,
             precision=self.precision,
-            name="decoder")(feats)
+            name="decoder")(feats, need_attnmap=need_attnmap)
         return cls_out, hmap_out, attnmap
 
 

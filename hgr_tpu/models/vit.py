@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from hgr_tpu.ops.attention_pallas import fused_attention_qkv, split_heads
 from hgr_tpu.ops.posemb import pos_emb_sincos_2d
 from hgr_tpu.ops.resize import upsample_bilinear_align_corners
 
@@ -67,7 +68,8 @@ class Attention(nn.Module):
     precision: Optional[jax.lax.Precision] = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Tuple[Array, Array]:
+    def __call__(self, x: Array,
+                 need_map: bool = True) -> Tuple[Array, Optional[Array]]:
         b, n, _ = x.shape
         inner = self.heads * self.head_dim
         scale = self.head_dim**-0.5
@@ -76,23 +78,29 @@ class Attention(nn.Module):
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32, precision=self.precision,
                        name="to_qkv")(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads_first(t: Array) -> Array:
-            return t.reshape(b, n, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = heads_first(q), heads_first(k), heads_first(v)
-
-        dots = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, precision=self.precision
-        ).astype(jnp.float32) * scale
-        attn = jax.nn.softmax(dots, axis=-1)
-        out = jnp.einsum(
-            "bhij,bhjd->bhid", attn.astype(self.dtype), v,
-            precision=self.precision,
-        )
-
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        if need_map:
+            # unfused chain: the post-softmax map is a real output
+            # (reference transformer.py:62-77 / vis.py attention overlays)
+            q, k, v = split_heads(qkv, self.heads, self.head_dim)
+            dots = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, precision=self.precision
+            ).astype(jnp.float32) * scale
+            attn = jax.nn.softmax(dots, axis=-1)
+            out = jnp.einsum(
+                "bhij,bhjd->bhid", attn.astype(self.dtype), v,
+                precision=self.precision,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        else:
+            # fused Pallas core on TPU, fed the packed qkv directly: the
+            # N×N score/attention tensors never reach HBM and the
+            # heads-first transposes (4× tile-padded layouts) disappear
+            # (ops/attention_pallas.py — most of the per-layer cost at
+            # B=4096 was exactly that traffic)
+            attn = None
+            out = fused_attention_qkv(qkv, self.heads, self.head_dim,
+                                      scale, False, self.precision)
         # project_out is always true for the reference config
         # (heads=8, head_dim=32, dim=256 -> transformer.py:50-63).
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
@@ -113,13 +121,18 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
     @nn.compact
-    def __call__(self, x: Array) -> Tuple[Array, Array]:
+    def __call__(self, x: Array,
+                 need_attnmap: bool = True) -> Tuple[Array, Optional[Array]]:
         attnmap = None
         for i in range(self.depth):
+            # Only the LAST layer's map is ever consumed (reference
+            # transformer.py:90-96 keeps just the final attn); earlier
+            # layers always take the fused no-map path.
+            last = i == self.depth - 1
             message, attnmap = Attention(
                 self.dim, self.heads, self.head_dim, dtype=self.dtype,
                 precision=self.precision,
-                name=f"layers_{i}_attn")(x)
+                name=f"layers_{i}_attn")(x, need_map=last and need_attnmap)
             x = message + x
             x = FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
                             precision=self.precision,
@@ -147,7 +160,9 @@ class ViT(nn.Module):
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
     @nn.compact
-    def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
+    def __call__(self, x: Array,
+                 need_attnmap: bool = True
+                 ) -> Tuple[Array, Array, Optional[Array]]:
         b, h, w, c = x.shape
         assert (h, w) == tuple(self.feature_size)
 
@@ -165,7 +180,7 @@ class ViT(nn.Module):
         tokens, attnmap = Transformer(
             self.dim, self.depth, self.heads, self.head_dim, self.mlp_dim,
             dtype=self.dtype, precision=self.precision,
-            name="transformer")(tokens)
+            name="transformer")(tokens, need_attnmap=need_attnmap)
 
         cls_feat = tokens[:, 0]
         hmap_feat = tokens[:, 1:]

@@ -50,14 +50,20 @@ def _preprocess(batch: Dict[str, Array], key: Optional[Array],
 
 def _forward_and_metrics(apply_fn, params, batch_stats, data, num_classes,
                          train: bool, class_loss_weight: float = 0.001,
-                         sample_mask=None):
+                         sample_mask=None, need_attnmap: bool = False):
+    # need_attnmap=False routes attention through the fused no-map Pallas
+    # core (ops/attention_pallas.py); only the debug-image eval step asks
+    # for the map.
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         (cls_out, hmap, attn), mutated = apply_fn(
-            variables, data["image"], train=True, mutable=["batch_stats"])
+            variables, data["image"], train=True,
+            need_attnmap=need_attnmap, mutable=["batch_stats"])
         new_stats = mutated["batch_stats"]
     else:
-        cls_out, hmap, attn = apply_fn(variables, data["image"], train=False)
+        cls_out, hmap, attn = apply_fn(variables, data["image"],
+                                       train=False,
+                                       need_attnmap=need_attnmap)
         new_stats = batch_stats
 
     hmap_nchw = heatmaps_to_nchw(hmap)
@@ -148,7 +154,8 @@ def make_eval_step(
                            heatmap_size)
         total, (parts, cls_out, hmap, attn, _) = _forward_and_metrics(
             state.apply_fn, state.params, state.batch_stats, data,
-            num_classes, train=False, sample_mask=mask)
+            num_classes, train=False, sample_mask=mask,
+            need_attnmap=return_outputs)
         metrics, pred_label = _step_metrics(data, parts, cls_out, hmap,
                                             num_classes, mask)
         if return_outputs:
