@@ -13,9 +13,10 @@ tracking:
      fused jitter+warp+normalize -> 2-output forward) at large batch
   7. warp-kernel canvas staging dtype comparison (f32/bf16/u8 HBM reads)
   8. full-model forward INCLUDING the attention map output at B 512 and
-     4096 (the 3-output training/debug forward; this config decided the
-     round-2 win-or-die A/B that removed the Pallas attention kernel:
-     pallas batch-tiled 75.5 ms vs XLA 67.3 ms @B=512, OOM @4096)
+     4096 (the 3-output debug forward: layers 1..3 ride the fused
+     no-map Pallas attention, the last layer keeps the XLA chain that
+     materializes the map — see BENCH_LOG.md round 2b for the kernel's
+     win-or-die history)
 
 Usage: python bench_suite.py [--iters 20] [--configs 1,...,8]
 """
