@@ -97,6 +97,29 @@ def _attention_qkv_impl(qkv: Array, heads: int, head_dim: int, scale: float,
     )(qkv)
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_fwd(heads: int, head_dim: int, scale: float, interpret: bool):
+    """Batch-partitioned fwd launcher for multi-device (mesh) programs —
+    GSPMD cannot partition a Mosaic custom call on its own
+    (ops/partitioning.py); one cached op per static config."""
+    from hgr_tpu.ops.partitioning import batch_partitioned
+
+    return batch_partitioned(
+        lambda qkv: _attention_qkv_impl(qkv, heads, head_dim, scale,
+                                        interpret),
+        sharding_rule="b n f -> b n g")
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_bwd(heads: int, head_dim: int, scale: float, interpret: bool):
+    from hgr_tpu.ops.partitioning import batch_partitioned
+
+    return batch_partitioned(
+        lambda qkv, g: _attention_qkv_bwd_impl(qkv, g, heads, head_dim,
+                                               scale, interpret),
+        sharding_rule="b n f, b n g -> b n f")
+
+
 def split_heads(qkv: Array, heads: int, head_dim: int):
     """(B, N, 3·H·D) -> three (B, H, N, D) (reference transformer.py:66:
     chunk(3) then heads-first rearrange)."""
@@ -138,6 +161,10 @@ def fused_attention_qkv(qkv: Array, heads: int, head_dim: int, scale: float,
                           and jax.default_backend() not in ("tpu", "axon")):
         q, k, v = split_heads(qkv, heads, head_dim)
         return merge_heads(_xla_attention_core(q, k, v, scale, precision))
+    from hgr_tpu.ops.partitioning import multi_device
+
+    if multi_device():
+        return _sharded_fwd(heads, head_dim, scale, interpret)(qkv)
     return _attention_qkv_impl(qkv, heads, head_dim, scale,
                                interpret=interpret)
 
@@ -250,6 +277,10 @@ def _bwd(heads, head_dim, scale, interpret, precision, qkv, g_out):
     if not _HAS_PLTPU or (not interpret
                           and jax.default_backend() not in ("tpu", "axon")):
         return (_xla_attention_qkv_bwd(qkv, g_out, heads, head_dim, scale),)
+    from hgr_tpu.ops.partitioning import multi_device
+
+    if multi_device():
+        return (_sharded_bwd(heads, head_dim, scale, interpret)(qkv, g_out),)
     return (_attention_qkv_bwd_impl(qkv, g_out, heads, head_dim, scale,
                                     interpret=interpret),)
 

@@ -1,0 +1,74 @@
+"""Batch-dimension SPMD partitioning for the Pallas kernels.
+
+GSPMD cannot partition a Mosaic custom call on its own: under a
+``jit(..., in_shardings=...)`` mesh program (parallel/steps.py) a bare
+``pallas_call`` would force a gather/replication of its operands — or
+fail — on real multi-chip hardware. The virtual-CPU mesh tests never
+caught this because the CPU path takes the XLA fallbacks.
+
+``batch_partitioned`` wraps a kernel-launching impl whose every operand
+and result is leading-batch-dim–indexed, declaring the only legal
+layout: shard dim 0 along whatever mesh axes the first operand's dim 0
+already uses, replicate every other dim, and lower by running the SAME
+impl on the per-device shard (data-parallel by construction — the
+kernels have no cross-batch dependencies).
+
+Used by ops/attention_pallas.py and ops/warp_pallas.py whenever the
+process has more than one device; single-device processes call the impl
+directly (identical lowering, no partitioner involvement).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _batch_axes(arg_shapes):
+    """The mesh axes the first operand's leading dim is sharded on."""
+    sh = arg_shapes[0].sharding
+    spec = getattr(sh, "spec", None)
+    if spec is None or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+def batch_partitioned(impl: Callable, sharding_rule: str = None) -> Callable:
+    """Wrap ``impl(*arrays) -> array`` (all leading-dim batch) with
+    batch-only custom partitioning.
+
+    ``sharding_rule`` is the einsum-style factor rule the Shardy
+    partitioner requires (e.g. ``'b n f -> b n g'``); shared factor
+    ``b`` carries the batch sharding, every other factor is unique so
+    nothing else propagates. The GSPMD callbacks below cover the
+    non-Shardy path.
+    """
+    cp = custom_partitioning(impl)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes)
+        return NamedSharding(
+            mesh, P(b, *([None] * (len(result_shape.shape) - 1))))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes)
+        arg_shardings = tuple(
+            NamedSharding(mesh, P(b, *([None] * (len(a.shape) - 1))))
+            for a in arg_shapes)
+        result_sharding = NamedSharding(
+            mesh, P(b, *([None] * (len(result_shape.shape) - 1))))
+        return mesh, impl, result_sharding, arg_shardings
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=sharding_rule)
+    return cp
+
+
+def multi_device() -> bool:
+    """True when SPMD partitioning can apply (more than one device)."""
+    return jax.device_count() > 1

@@ -41,6 +41,7 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 from hgr_tpu.ops.affine import invert_affine
+from hgr_tpu.ops.partitioning import batch_partitioned, multi_device
 
 Array = jax.Array
 LANE = 128
@@ -194,6 +195,39 @@ def _warp_one_channel(img, out_ref, ch_idx, alpha, beta, gamma, s2, t2, u2,
     out_ref[0, ch_idx] = out_t.T
 
 
+def _warp_chunk_impl(params_c: Array, chw_c: Array, *, with_jitter: bool,
+                     interpret: bool) -> Array:
+    """One pallas_call over a ≤_MAX_GRID_B batch chunk."""
+    nb, c, s_dim, _ = chw_c.shape
+    kernel = functools.partial(_warp_kernel, s_dim=s_dim,
+                               with_jitter=with_jitter)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 3, s_dim, s_dim),
+                         lambda i, params: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, s_dim, s_dim),
+                               lambda i, params: (i, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, c, s_dim, s_dim), jnp.float32),
+        interpret=interpret,
+    )(params_c, chw_c)
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_warp_chunk(with_jitter: bool, interpret: bool):
+    """Batch-partitioned chunk launcher (one cached op per config)."""
+    return batch_partitioned(
+        lambda params_c, chw_c: _warp_chunk_impl(
+            params_c, chw_c, with_jitter=with_jitter, interpret=interpret),
+        sharding_rule="b p, b c s t -> b c s t")
+
+
 def warp_twopass_pallas(
     images: Array,  # (B, S, S, 3) float32 BGR
     m: Array,  # (B, 2, 3) src->dst affine
@@ -258,28 +292,15 @@ def warp_twopass_pallas(
 
     chw = jnp.moveaxis(imgs_sel, -1, 1)  # (B, 3, S, S)
 
-    kernel = functools.partial(_warp_kernel, s_dim=s_dim,
-                               with_jitter=with_jitter)
-
-    def run_chunk(params_c: Array, chw_c: Array) -> Array:
-        nb = params_c.shape[0]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((1, 3, s_dim, s_dim),
-                             lambda i, params: (i, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 3, s_dim, s_dim),
-                                   lambda i, params: (i, 0, 0, 0)),
-        )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (nb, c, s_dim, s_dim), jnp.float32),
-            interpret=interpret,
-        )(params_c, chw_c)
+    if multi_device():
+        # mesh programs: GSPMD can't partition a Mosaic custom call on
+        # its own — route through the batch-partitioned wrapper
+        # (ops/partitioning.py); each device warps its batch shard.
+        run_chunk = _sharded_warp_chunk(with_jitter, interpret)
+    else:
+        run_chunk = functools.partial(_warp_chunk_impl,
+                                      with_jitter=with_jitter,
+                                      interpret=interpret)
 
     # Scalar-prefetch SMEM + grid bookkeeping overflow the 1 MB SMEM just
     # past B=1024 on this toolchain (measured: B=2048 exceeds it by 144

@@ -1,0 +1,108 @@
+"""Pallas kernels under mesh (GSPMD) programs — ops/partitioning.py.
+
+GSPMD cannot partition Mosaic custom calls by itself; the kernels route
+through batch-dim custom_partitioning whenever the process is
+multi-device. These tests run the kernels in interpret mode on the
+8-virtual-device CPU mesh with batch-sharded inputs and pin equality
+with the unsharded result — validating the partition rules themselves
+(Mosaic-vs-interpret equality is pinned by the other kernel tests).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hgr_tpu.ops.attention_pallas import (
+    _attention_qkv_bwd_impl,
+    _attention_qkv_impl,
+    _sharded_bwd,
+    _sharded_fwd,
+)
+from hgr_tpu.ops.warp_pallas import _sharded_warp_chunk, _warp_chunk_impl
+from hgr_tpu.parallel.mesh import make_mesh
+
+H, D, N = 8, 32, 145
+SCALE = D**-0.5
+
+
+def _mesh():
+    return make_mesh({"data": len(jax.devices())})
+
+
+def test_attention_fwd_partitioned_matches_single():
+    mesh = _mesh()
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(16, N, 3 * H * D), jnp.float32)
+    want = _attention_qkv_impl(qkv, H, D, SCALE, True)
+
+    op = _sharded_fwd(H, D, SCALE, True)
+    sharded = jax.device_put(qkv, NamedSharding(mesh, P("data")))
+    got = jax.jit(op)(sharded)
+    assert got.shape == (16, N, H * D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_attention_bwd_partitioned_matches_single():
+    mesh = _mesh()
+    rng = np.random.RandomState(1)
+    qkv = jnp.asarray(rng.randn(8, N, 3 * H * D), jnp.float32)
+    g = jnp.asarray(rng.randn(8, N, H * D), jnp.float32)
+    want = _attention_qkv_bwd_impl(qkv, g, H, D, SCALE, True)
+
+    op = _sharded_bwd(H, D, SCALE, True)
+    sh = NamedSharding(mesh, P("data"))
+    got = jax.jit(op)(jax.device_put(qkv, sh), jax.device_put(g, sh))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_warp_chunk_partitioned_matches_single():
+    mesh = _mesh()
+    rng = np.random.RandomState(2)
+    b, s = 8, 128
+    chw = jnp.asarray(rng.randint(0, 255, (b, 3, s, s)), jnp.float32)
+    theta = 0.3
+    # params rows: alpha beta gamma s2 t2 u2 + 4 jitter slots (unused)
+    params = jnp.tile(jnp.asarray(
+        [[np.cos(theta), np.sin(theta) * 0.2, 4.0,
+          0.1, 1.05, -2.0, 0, 0, 0, 0]], np.float32), (b, 1))
+    # "want" at per-shard granularity: XLA's FMA fusion of the position
+    # polynomial varies with batch size, flipping floor() at
+    # boundary-exact positions (the documented ~1-LSB-at-hard-edges
+    # behavior of the two-pass method) — so batch-8-at-once is not
+    # bitwise comparable to eight batch-1 lowerings. Partitioning must
+    # reproduce the per-shard lowering exactly.
+    want = np.concatenate([
+        np.asarray(_warp_chunk_impl(params[i:i + 1], chw[i:i + 1],
+                                    with_jitter=False, interpret=True))
+        for i in range(b)])
+
+    op = _sharded_warp_chunk(False, True)
+    sh = NamedSharding(mesh, P("data"))
+    got = jax.jit(op)(jax.device_put(params, sh), jax.device_put(chw, sh))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_attention_grad_through_mesh_jit():
+    """End-to-end: value_and_grad of a mesh-jitted loss whose forward
+    and backward both cross the partitioned kernel launchers."""
+    from hgr_tpu.ops.attention_pallas import fused_attention_qkv
+
+    mesh = _mesh()
+    rng = np.random.RandomState(3)
+    qkv = jnp.asarray(rng.randn(8, N, 3 * H * D), jnp.float32)
+
+    def loss(qkv):
+        return jnp.sum(jnp.sin(fused_attention_qkv(qkv, H, D, SCALE, True)))
+
+    want_v, want_g = jax.value_and_grad(loss)(qkv)
+
+    sh = NamedSharding(mesh, P("data"))
+    got_v, got_g = jax.jit(jax.value_and_grad(loss),
+                           in_shardings=sh)(jax.device_put(qkv, sh))
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               atol=1e-5, rtol=1e-5)
