@@ -35,6 +35,23 @@ def _build() -> bool:
         return False
 
 
+def _load_unique_copy() -> Optional[ctypes.CDLL]:
+    """CDLL a fresh temp copy of the library (bypasses dlopen's
+    same-path dedup against an already-loaded stale image)."""
+    import shutil
+    import tempfile
+
+    try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", prefix="hgr_native_")
+        os.close(fd)
+        shutil.copyfile(_LIB_PATH, tmp)
+        lib = ctypes.CDLL(tmp)
+        os.unlink(tmp)  # safe on Linux once mapped
+        return lib
+    except OSError:
+        return None
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_attempted
     with _lib_lock:
@@ -50,15 +67,15 @@ def _load() -> Optional[ctypes.CDLL]:
         except OSError:
             return None
         if not hasattr(lib, "hgr_stage_batch2"):
-            # Stale .so from an older ABI — rebuild once.
+            # Stale .so from an older ABI — rebuild once. dlopen dedupes
+            # by pathname while the stale handle is alive, so re-CDLL of
+            # _LIB_PATH would return the OLD image; load the fresh build
+            # through a unique temp copy instead.
             if _build_attempted or not _build():
                 return None
             _build_attempted = True
-            try:
-                lib = ctypes.CDLL(_LIB_PATH)
-            except OSError:
-                return None
-            if not hasattr(lib, "hgr_stage_batch2"):
+            lib = _load_unique_copy()
+            if lib is None or not hasattr(lib, "hgr_stage_batch2"):
                 return None
         lib.hgr_decode_jpeg.restype = ctypes.c_int
         lib.hgr_decode_jpeg.argtypes = [

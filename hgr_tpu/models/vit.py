@@ -11,14 +11,15 @@ Capability parity with reference model/transformer.py:29-152:
   * pose decoder = align-corners bilinear x4 upsample -> ReLU -> 1x1 conv
     (transformer.py:118-127,146-150).
 
-TPU design notes: attention runs over 145 tokens x 256 dim — tiny — so
-the whole block is one fused XLA region; softmax and LayerNorm statistics
-are computed in float32 even when compute dtype is bfloat16. An optional
-a fused Pallas attention kernel was built and benchmarked against this
-path in round 2 and LOST (batch-tiled at 8 (b,h) pairs/program, B=512:
-75.5 vs 67.3 ms full model; OOM at B=4096 from the padded attn buffer)
-— XLA's fusion of the 152-token chain is already near-optimal, so the
-kernel was removed (kernels that win or die; BENCH_LOG.md r2).
+TPU design notes: softmax and LayerNorm statistics are computed in
+float32 even when compute dtype is bfloat16. Attention routes by need:
+when the caller does NOT need the attention map (``need_attnmap=False``
+— training, eval, serving), every layer takes the fused qkv-native
+Pallas core (ops/attention_pallas.py: no N×N HBM intermediates, no
+heads-first transposes; fwd +40% at B=4096, BENCH_LOG.md round 2b);
+when the map IS needed, only the LAST layer — the one whose map the
+reference consumes (transformer.py:90-96) — runs the unfused XLA chain
+that materializes it.
 """
 
 from __future__ import annotations

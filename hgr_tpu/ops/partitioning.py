@@ -28,12 +28,18 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def _batch_axes(arg_shapes):
-    """The mesh axes the first operand's leading dim is sharded on."""
-    sh = arg_shapes[0].sharding
-    spec = getattr(sh, "spec", None)
-    if spec is None or len(spec) == 0:
-        return None
-    return spec[0]
+    """The mesh axes the operands' leading dim is sharded on.
+
+    Checks EVERY operand and keeps the first non-replicated dim-0
+    sharding: GSPMD routinely replicates tiny operands (e.g. the warp
+    kernel's (B, 10) params) while the big batch operand is sharded —
+    deriving from operand 0 alone would then force an all-gather of the
+    multi-GB batch onto every device."""
+    for a in arg_shapes:
+        spec = getattr(a.sharding, "spec", None)
+        if spec is not None and len(spec) > 0 and spec[0] is not None:
+            return spec[0]
+    return None
 
 
 def batch_partitioned(impl: Callable, sharding_rule: str = None) -> Callable:

@@ -195,8 +195,8 @@ def _warp_one_channel(img, out_ref, ch_idx, alpha, beta, gamma, s2, t2, u2,
     out_ref[0, ch_idx] = out_t.T
 
 
-def _warp_chunk_impl(params_c: Array, chw_c: Array, *, with_jitter: bool,
-                     interpret: bool) -> Array:
+def _warp_one_call(params_c: Array, chw_c: Array, *, with_jitter: bool,
+                   interpret: bool) -> Array:
     """One pallas_call over a ≤_MAX_GRID_B batch chunk."""
     nb, c, s_dim, _ = chw_c.shape
     kernel = functools.partial(_warp_kernel, s_dim=s_dim,
@@ -219,9 +219,30 @@ def _warp_chunk_impl(params_c: Array, chw_c: Array, *, with_jitter: bool,
     )(params_c, chw_c)
 
 
+def _warp_chunk_impl(params_c: Array, chw_c: Array, *, with_jitter: bool,
+                     interpret: bool) -> Array:
+    """Warp any batch size, splitting into ≤_MAX_GRID_B pallas_calls.
+
+    Scalar-prefetch SMEM + grid bookkeeping overflow the 1 MB SMEM just
+    past B=1024 on this toolchain (measured: B=2048 exceeds it by 144
+    bytes). The chunking lives HERE — inside the unit the partitioner
+    lowers per shard — because the SMEM cap is per device: a global
+    B=8192 over 8 devices is a single fine call per device, not eight
+    sliced ones."""
+    b = chw_c.shape[0]
+    if b <= _MAX_GRID_B:
+        return _warp_one_call(params_c, chw_c, with_jitter=with_jitter,
+                              interpret=interpret)
+    return jnp.concatenate(
+        [_warp_one_call(params_c[s:s + _MAX_GRID_B],
+                        chw_c[s:s + _MAX_GRID_B],
+                        with_jitter=with_jitter, interpret=interpret)
+         for s in range(0, b, _MAX_GRID_B)], axis=0)
+
+
 @functools.lru_cache(maxsize=16)
 def _sharded_warp_chunk(with_jitter: bool, interpret: bool):
-    """Batch-partitioned chunk launcher (one cached op per config)."""
+    """Batch-partitioned warp launcher (one cached op per config)."""
     return batch_partitioned(
         lambda params_c, chw_c: _warp_chunk_impl(
             params_c, chw_c, with_jitter=with_jitter, interpret=interpret),
@@ -295,23 +316,12 @@ def warp_twopass_pallas(
     if multi_device():
         # mesh programs: GSPMD can't partition a Mosaic custom call on
         # its own — route through the batch-partitioned wrapper
-        # (ops/partitioning.py); each device warps its batch shard.
-        run_chunk = _sharded_warp_chunk(with_jitter, interpret)
+        # (ops/partitioning.py); each device warps its batch shard
+        # (SMEM chunking happens per shard inside _warp_chunk_impl).
+        out_chw = _sharded_warp_chunk(with_jitter, interpret)(params, chw)
     else:
-        run_chunk = functools.partial(_warp_chunk_impl,
-                                      with_jitter=with_jitter,
-                                      interpret=interpret)
-
-    # Scalar-prefetch SMEM + grid bookkeeping overflow the 1 MB SMEM just
-    # past B=1024 on this toolchain (measured: B=2048 exceeds it by 144
-    # bytes) — chunk the grid so any batch size compiles; each chunk is an
-    # independent pallas_call XLA schedules back-to-back.
-    if b <= _MAX_GRID_B:
-        out_chw = run_chunk(params, chw)
-    else:
-        out_chw = jnp.concatenate(
-            [run_chunk(params[s:s + _MAX_GRID_B], chw[s:s + _MAX_GRID_B])
-             for s in range(0, b, _MAX_GRID_B)], axis=0)
+        out_chw = _warp_chunk_impl(params, chw, with_jitter=with_jitter,
+                                   interpret=interpret)
 
     out = jnp.moveaxis(out_chw, 1, -1)[:, :out_h, :out_w, :]
 

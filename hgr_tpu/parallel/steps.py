@@ -111,10 +111,12 @@ def make_parallel_eval_step(
     heatmap_size=(48, 48),
     tensor_parallel: bool = False,
     return_outputs: bool = False,
+    with_attnmap: bool = None,
 ) -> Callable:
     inner = base_steps.make_eval_step(
         num_classes=num_classes, sigma=sigma, image_size=image_size,
-        heatmap_size=heatmap_size, return_outputs=return_outputs)
+        heatmap_size=heatmap_size, return_outputs=return_outputs,
+        with_attnmap=with_attnmap)
     fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner
     st_sh = state_shardings(state_template, mesh, tensor_parallel)
     b_sh = batch_sharding(mesh)

@@ -218,19 +218,33 @@ def fit(
                 return p_eval(st, shard_batch(batch, mesh))
 
         if debug_images:
-            p_dbg = make_parallel_eval_step(
+            # Two dump steps: train-cadence dumps never render the
+            # attention map, so they skip the unfused last layer AND the
+            # (B,8,N,N) f32 device→host transfer.
+            p_dbg_train = make_parallel_eval_step(
                 mesh, state, tensor_parallel=tensor_parallel,
-                return_outputs=True, **step_kw)
+                return_outputs=True, with_attnmap=False, **step_kw)
+            p_dbg_val = make_parallel_eval_step(
+                mesh, state, tensor_parallel=tensor_parallel,
+                return_outputs=True, with_attnmap=True, **step_kw)
 
-            def dbg_step(st, batch):
+            def dbg_step(st, batch, with_attention):
                 with mesh:
-                    return p_dbg(st, shard_batch(batch, mesh))
+                    p = p_dbg_val if with_attention else p_dbg_train
+                    return p(st, shard_batch(batch, mesh))
     else:
         train_step = make_train_step(
             aug, class_loss_weight=train_cfg.class_loss_weight, **step_kw)
         eval_step = make_eval_step(**step_kw)
         if debug_images:
-            dbg_step = make_eval_step(return_outputs=True, **step_kw)
+            s_dbg_train = make_eval_step(return_outputs=True,
+                                         with_attnmap=False, **step_kw)
+            s_dbg_val = make_eval_step(return_outputs=True,
+                                       with_attnmap=True, **step_kw)
+
+            def dbg_step(st, batch, with_attention):
+                return (s_dbg_val if with_attention else s_dbg_train)(
+                    st, batch)
 
     debug_hook = None
     dump_val_debug = None
@@ -241,7 +255,7 @@ def fit(
         os.makedirs(dbg_dir, exist_ok=True)
 
         def _dump(st, batch, name, with_attention):
-            _, outputs = dbg_step(st, batch)
+            _, outputs = dbg_step(st, batch, with_attention)
             outputs = jax.device_get(outputs)
             save_debug_images(outputs, os.path.join(dbg_dir, name),
                               with_attention=with_attention)

@@ -141,12 +141,19 @@ def make_eval_step(
     image_size=(192, 192),
     heatmap_size=(48, 48),
     return_outputs: bool = False,
+    with_attnmap: Optional[bool] = None,
 ) -> Callable:
     """Build the jitted eval step: same forward, no augment, no update.
 
     eval_step(state, batch) -> metrics (plus raw outputs when
     ``return_outputs`` — used by the debug-image dumper).
+    ``with_attnmap`` controls whether the outputs carry the attention
+    map (defaults to ``return_outputs``); TRAIN-cadence debug dumps pass
+    False so the unfused last-layer chain and the (B,8,N,N) float32
+    device→host transfer are skipped for a map they never render.
     """
+    if with_attnmap is None:
+        with_attnmap = return_outputs
 
     def eval_step(state: TrainState, batch: Dict[str, Array]):
         mask = batch.get("valid")
@@ -155,7 +162,7 @@ def make_eval_step(
         total, (parts, cls_out, hmap, attn, _) = _forward_and_metrics(
             state.apply_fn, state.params, state.batch_stats, data,
             num_classes, train=False, sample_mask=mask,
-            need_attnmap=return_outputs)
+            need_attnmap=with_attnmap)
         metrics, pred_label = _step_metrics(data, parts, cls_out, hmap,
                                             num_classes, mask)
         if return_outputs:

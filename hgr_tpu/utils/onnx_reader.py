@@ -116,7 +116,13 @@ class OnnxTensor:
         if self._raw is not None:
             arr = np.frombuffer(self._raw, dtype=dt)
         elif self._values is not None:
-            arr = self._values.astype(dt)
+            if self.data_type == 10:  # FLOAT16 via int32_data holds the
+                # IEEE-754 half BIT PATTERNS (onnx.proto comment on
+                # int32_data) — bit-reinterpret, don't convert
+                arr = (self._values.astype(np.uint16)
+                       .view(np.dtype("<f2")))
+            else:
+                arr = self._values.astype(dt)
         else:
             arr = np.zeros(0, dt)
         return arr.reshape(self.dims)
@@ -165,8 +171,13 @@ def _parse_tensor(buf: bytes) -> OnnxTensor:
                 [v - (1 << 64) if v >= (1 << 63) else v for v in int64s],
                 np.int64)
         elif int32s:
+            # Conformant encoders sign-extend int32 to 64-bit varints
+            # (-1 arrives as 2^64-1); tolerate non-extended 32-bit
+            # two's-complement values too.
             values = np.asarray(
-                [v - (1 << 32) if v >= (1 << 31) else v for v in int32s],
+                [v - (1 << 64) if v >= (1 << 63)
+                 else (v - (1 << 32) if v >= (1 << 31) else v)
+                 for v in int32s],
                 np.int64)
         elif doubles:
             values = np.asarray(doubles, np.float64)

@@ -286,3 +286,46 @@ def test_reader_roundtrip_primitives(onnx_pb2, tmp_path):
     np.testing.assert_array_equal(graph.initializers["raw"].to_numpy(), a)
     np.testing.assert_allclose(
         graph.initializers["floats"].to_numpy(), a.ravel())
+
+
+def _varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _tensor_proto(data_type: int, int32_data, dims) -> bytes:
+    """Hand-encode a TensorProto using non-raw int32_data storage."""
+    buf = b""
+    for d in dims:
+        buf += bytes([1 << 3 | 0]) + _varint(d)
+    buf += bytes([2 << 3 | 0]) + _varint(data_type)
+    packed = b"".join(_varint(v & (2**64 - 1)) for v in int32_data)
+    buf += bytes([5 << 3 | 2]) + _varint(len(packed)) + packed
+    buf += bytes([8 << 3 | 2]) + _varint(1) + b"t"
+    return buf
+
+
+def test_onnx_reader_negative_int32_data():
+    """Conformant encoders sign-extend int32 varints to 64 bits; -1
+    arrives as 2^64-1 and must decode back to -1 (was: OverflowError)."""
+    from hgr_tpu.utils.onnx_reader import _parse_tensor
+
+    t = _parse_tensor(_tensor_proto(6, [-1, 3, -128], (3,)))
+    np.testing.assert_array_equal(t.to_numpy(), [-1, 3, -128])
+
+
+def test_onnx_reader_float16_int32_data_bitcast():
+    """FLOAT16 stored via int32_data holds IEEE-754 half BIT PATTERNS
+    (0x3C00 == 1.0) — must bit-reinterpret, not numerically convert."""
+    from hgr_tpu.utils.onnx_reader import _parse_tensor
+
+    # 0x3C00=1.0, 0xC000=-2.0, 0x0000=0.0
+    t = _parse_tensor(_tensor_proto(10, [0x3C00, 0xC000, 0], (3,)))
+    np.testing.assert_array_equal(
+        t.to_numpy().astype(np.float32), [1.0, -2.0, 0.0])
