@@ -51,6 +51,11 @@ def _attention_qkv_kernel(qkv_ref, o_ref, *, heads: int, head_dim: int,
     """One image per program: all heads' attention fully in VMEM."""
     x = qkv_ref[0]  # (N, 3*H*D)
     hd = heads * head_dim
+    n = x.shape[0]
+    # key columns beyond the real sequence must not win the softmax
+    # (VMEM tile padding is not guaranteed zero, and zero scores would
+    # still take weight); the mask is head-invariant — build it once.
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) < n_valid
     for h in range(heads):
         lo = h * head_dim
         q = x[:, lo:lo + head_dim].astype(jnp.float32)
@@ -60,13 +65,7 @@ def _attention_qkv_kernel(qkv_ref, o_ref, *, heads: int, head_dim: int,
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (N, N)
-
-        # key columns beyond the real sequence must not win the softmax
-        # (VMEM tile padding is not guaranteed zero, and zero scores
-        # would still take weight).
-        n_pad = scores.shape[-1]
-        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
-        scores = jnp.where(col < n_valid, scores, -jnp.inf)
+        scores = jnp.where(col_ok, scores, -jnp.inf)
 
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
@@ -178,6 +177,8 @@ def _attention_qkv_bwd_kernel(qkv_ref, g_ref, d_ref, *, heads: int,
     x = qkv_ref[0]  # (N, 3*H*D)
     g = g_ref[0]  # (N, H*D)
     hd = heads * head_dim
+    n = x.shape[0]
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) < n_valid
     for h in range(heads):
         lo = h * head_dim
         q = x[:, lo:lo + head_dim].astype(jnp.float32)
@@ -189,9 +190,7 @@ def _attention_qkv_bwd_kernel(qkv_ref, g_ref, d_ref, *, heads: int,
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        n_pad = scores.shape[-1]
-        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
-        scores = jnp.where(col < n_valid, scores, -jnp.inf)
+        scores = jnp.where(col_ok, scores, -jnp.inf)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         s = jnp.sum(e, axis=-1, keepdims=True)
