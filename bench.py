@@ -1,12 +1,15 @@
 """Headline benchmark: HaGRID 192x192 crops/sec/chip (classify + pose).
 
-Runs the flagship MultiTaskNet forward (gesture logits + 21-keypoint
-heatmaps, bf16 compute) on the available accelerator and prints ONE JSON
-line. ``vs_baseline`` is relative to the reference implementation measured
+Default measures the honest END-TO-END input path on the accelerator:
+uint8 staged canvas -> fused HSV-jitter + affine warp (Pallas) ->
+ImageNet normalize -> 2-output MultiTaskNet forward (bf16), B=2048 —
+and prints ONE JSON line. ``--forward-only`` measures the pure forward
+on preformed bf16 tensors (B=4096; 15.4k crops/s on v5e, BENCH_LOG.md
+round 2b). ``vs_baseline`` is relative to the reference implementation measured
 in this sandbox (torch CPU bs=32: 14.0 crops/s — BASELINE.md; the
 reference publishes no numbers of its own).
 
-Usage: python bench.py [--batch 256] [--iters 30] [--no-augment]
+Usage: python bench.py [--batch N] [--iters 30] [--forward-only]
 """
 
 from __future__ import annotations
@@ -22,12 +25,14 @@ REFERENCE_CROPS_PER_SEC = 14.0  # BASELINE.md [measured], torch CPU bs=32
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=4096)
+    parser.add_argument("--batch", type=int, default=0,
+                        help="0 = auto (2048 e2e / 4096 forward-only)")
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
-    parser.add_argument("--include-augment", action="store_true",
-                        help="benchmark the full augment+forward train-input "
-                             "path instead of pure inference")
+    parser.add_argument("--forward-only", action="store_true",
+                        help="benchmark the pure 2-output forward on "
+                             "preformed bf16 tensors instead of the "
+                             "default end-to-end input path")
     args = parser.parse_args()
 
     import jax
@@ -43,6 +48,9 @@ def main() -> None:
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 3)), train=False)
 
+    args.include_augment = not args.forward_only
+    if args.batch == 0:
+        args.batch = 2048 if args.include_augment else 4096
     if args.include_augment:
         from hgr_tpu.config import AugmentConfig
         from hgr_tpu.data.pipeline import apply_augment_batch, draw_augment_params
@@ -70,7 +78,7 @@ def main() -> None:
             jax.random.PRNGKey(0),
         )
         run = lambda: fn(*inputs)
-        metric_name = "augment+classify+pose crops/sec/chip @192x192"
+        metric_name = "e2e u8->augment->classify+pose crops/sec/chip @192x192"
     else:
         # Deployed 2-output forward (the reference's exported graph also
         # drops the attention map, export.py:43-45), bf16 activations.
