@@ -54,6 +54,11 @@ def parse_args():
     parser.add_argument('--host_device_count', type=int, default=0,
                         help='simulate N virtual CPU devices (mesh testing '
                              'without hardware)')
+    parser.add_argument('--profile', type=int, default=0, metavar='N',
+                        help='capture a jax.profiler trace over the first '
+                             'N train steps (written to '
+                             '<save_dir>/<run>/profile; view with '
+                             'TensorBoard/xprof)')
     parser.add_argument('--debug_images', action='store_true',
                         help='dump GT/pred/heatmap grids every 100 train '
                              'batches and one val batch (with attention) '
@@ -168,7 +173,8 @@ def main():
     fit(model_cfg, train_cfg, data_cfg, state, train_loader, val_loader,
         test_loader, save_path=save_path, log_dir=args.log_dir,
         run_name=model_name, mesh=mesh, tensor_parallel=tensor_parallel,
-        debug_images=args.debug_images, lr_fn=lr_schedule)
+        debug_images=args.debug_images, lr_fn=lr_schedule,
+        profile_steps=args.profile)
 
 
 if __name__ == "__main__":

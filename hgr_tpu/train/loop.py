@@ -99,6 +99,8 @@ def train_epoch(
     lr_fn: Optional[Callable] = None,
     debug_hook: Optional[Callable] = None,
     debug_every: int = 100,
+    profile_steps: int = 0,
+    profile_dir: str = "",
 ) -> TrainState:
     """One epoch. ``lr_fn(step) -> lr`` is logged at every logging line
     (reference LearningRateMonitor, train.py:213); ``debug_hook(state,
@@ -109,6 +111,7 @@ def train_epoch(
     accumulated into ``metrics.loader_wait_s`` (device work is async —
     if the loader keeps up this stays near zero while the epoch wall
     clock is upload+compute bound)."""
+    tracing = False
     it = iter(loader)
     i = 0
     while True:
@@ -117,9 +120,18 @@ def train_epoch(
         metrics.loader_wait_s += time.perf_counter() - t_wait
         if batch is None:
             break
+        if profile_steps and i == 0:
+            # jax.profiler trace over the first ``profile_steps`` steps
+            # (SURVEY.md §5.1; view with TensorBoard/xprof)
+            jax.profiler.start_trace(profile_dir)
+            tracing = True
         key, sub = jax.random.split(key)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, m = step_fn(state, batch, sub)
+        if tracing and i + 1 >= profile_steps:
+            jnp.asarray(m["total_loss"]).block_until_ready()
+            jax.profiler.stop_trace()
+            tracing = False
         # Guard at logging cadence so the check doesn't force a sync
         # every step.
         if i % nan_guard_every == 0:
@@ -138,6 +150,8 @@ def train_epoch(
                 line["lr"] = float(lr_fn(int(state.step)))
             logger.log(int(state.step), line)
         i += 1
+    if tracing:  # epoch shorter than profile_steps
+        jax.profiler.stop_trace()
     return state
 
 
@@ -169,6 +183,7 @@ def fit(
     mesh=None,
     tensor_parallel: bool = False,
     lr_fn: Optional[Callable] = None,
+    profile_steps: int = 0,
 ) -> TrainState:
     """Full fit + test (reference train.py:190-240).
 
@@ -288,7 +303,9 @@ def fit(
         state = train_epoch(state, train_step, train_loader, sub,
                             train_metrics, logger, lr_fn=lr_fn,
                             debug_hook=debug_hook,
-                            debug_every=train_cfg.debug_every)
+                            debug_every=train_cfg.debug_every,
+                            profile_steps=profile_steps if epoch == 0 else 0,
+                            profile_dir=os.path.join(save_path, "profile"))
         tr = train_metrics.snapshot()
 
         val = eval_epoch(state, eval_step, val_loader, val_metrics)

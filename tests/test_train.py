@@ -163,3 +163,25 @@ def test_eval_epoch_metrics(synth_dir):
                         "pose_acc", "epoch_f1"}
     assert np.isfinite(out["total_loss"])
     assert 0.0 <= out["epoch_f1"] <= 1.0
+
+
+def test_profile_steps_writes_trace(tmp_path, synth_dir):
+    """profile_steps captures a jax.profiler trace over the first N
+    train steps (SURVEY.md §5.1); the trace dir must be non-empty."""
+    import glob as _glob
+
+    idx = read_annotations(
+        os.path.join(synth_dir, "annotations", "train"), DEFAULT_NAMES)
+    loader = BatchLoader(idx, batch_size=8, canvas_size=128,
+                         shuffle=False, num_workers=1)
+    model = MultiTaskNet(image_size=(IMAGE, IMAGE))
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), (1, IMAGE, IMAGE, 3), lr=1e-3,
+        milestones_steps=(10_000,))
+    step = make_train_step(AugmentConfig(), image_size=(IMAGE, IMAGE),
+                           heatmap_size=(HM, HM))
+    prof_dir = str(tmp_path / "profile")
+    train_epoch(state, step, loader, jax.random.PRNGKey(0),
+                EpochMetrics(19), profile_steps=2, profile_dir=prof_dir)
+    found = _glob.glob(os.path.join(prof_dir, "**", "*"), recursive=True)
+    assert any(os.path.isfile(f) for f in found), found
