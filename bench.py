@@ -2,7 +2,7 @@
 
 Default measures the honest END-TO-END input path on the accelerator:
 uint8 staged canvas -> fused HSV-jitter + affine warp (Pallas) ->
-ImageNet normalize -> 2-output MultiTaskNet forward (bf16), B=2048 —
+ImageNet normalize -> 2-output MultiTaskNet forward (bf16), B=4096 —
 and prints ONE JSON line. ``--forward-only`` measures the pure forward
 on preformed bf16 tensors (B=4096; 15.4k crops/s on v5e, BENCH_LOG.md
 round 2b). ``vs_baseline`` is relative to the reference implementation measured
@@ -26,7 +26,7 @@ REFERENCE_CROPS_PER_SEC = 14.0  # BASELINE.md [measured], torch CPU bs=32
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=0,
-                        help="0 = auto (2048 e2e / 4096 forward-only)")
+                        help="0 = auto (4096)")
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--forward-only", action="store_true",
@@ -50,7 +50,7 @@ def main() -> None:
 
     args.include_augment = not args.forward_only
     if args.batch == 0:
-        args.batch = 2048 if args.include_augment else 4096
+        args.batch = 4096
     if args.include_augment:
         from hgr_tpu.config import AugmentConfig
         from hgr_tpu.data.pipeline import apply_augment_batch, draw_augment_params
