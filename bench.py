@@ -25,8 +25,7 @@ REFERENCE_CROPS_PER_SEC = 14.0  # BASELINE.md [measured], torch CPU bs=32
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=0,
-                        help="0 = auto (4096)")
+    parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--forward-only", action="store_true",
@@ -49,8 +48,6 @@ def main() -> None:
         jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 3)), train=False)
 
     args.include_augment = not args.forward_only
-    if args.batch == 0:
-        args.batch = 4096
     if args.include_augment:
         from hgr_tpu.config import AugmentConfig
         from hgr_tpu.data.pipeline import apply_augment_batch, draw_augment_params

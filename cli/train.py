@@ -102,12 +102,16 @@ def main():
     os.makedirs(save_path, exist_ok=True)
 
     image_size = (args.image_size[0], args.image_size[1])
+    # Tensor-parallel meshes shard the ViT qkv feature dim on 'model' —
+    # keep the GSPMD-shardable XLA attention there (vit.Attention.fused).
+    tp_requested = 'model=' in args.mesh
     model_cfg = ModelConfig(
         num_joints=data_cfg.num_joints,
         num_classes=data_cfg.num_classes,
         image_size=image_size,
         backbone='large' if args.backbone == 'gelanl' else 'small',
         compute_dtype=args.dtype,
+        fused_attention=not tp_requested,
     )
     train_cfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,

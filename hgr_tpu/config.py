@@ -96,6 +96,9 @@ class ModelConfig:
     mlp_dim: int = 256
     # TPU knobs (no reference equivalent — compute dtype selection).
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Fused Pallas attention; set False under tensor-parallel meshes
+    # where the qkv feature dim is 'model'-sharded (vit.Attention.fused).
+    fused_attention: bool = True
 
     @property
     def feature_size(self) -> Tuple[int, int]:

@@ -41,15 +41,20 @@ def _load_unique_copy() -> Optional[ctypes.CDLL]:
     import shutil
     import tempfile
 
+    tmp = None
     try:
         fd, tmp = tempfile.mkstemp(suffix=".so", prefix="hgr_native_")
         os.close(fd)
         shutil.copyfile(_LIB_PATH, tmp)
-        lib = ctypes.CDLL(tmp)
-        os.unlink(tmp)  # safe on Linux once mapped
-        return lib
+        return ctypes.CDLL(tmp)
     except OSError:
         return None
+    finally:
+        if tmp is not None:
+            try:
+                os.unlink(tmp)  # safe on Linux once mapped
+            except OSError:
+                pass
 
 
 def _load() -> Optional[ctypes.CDLL]:

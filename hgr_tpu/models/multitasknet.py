@@ -39,6 +39,9 @@ class MultiTaskNet(nn.Module):
     mlp_dim: int = 256
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
+    # False routes attention through the GSPMD-shardable XLA chain —
+    # required under tensor-parallel meshes (see vit.Attention.fused).
+    fused_attention: bool = True
 
     @classmethod
     def from_config(cls, cfg: ModelConfig) -> "MultiTaskNet":
@@ -54,6 +57,7 @@ class MultiTaskNet(nn.Module):
             head_dim=cfg.head_dim,
             mlp_dim=cfg.mlp_dim,
             dtype=dtype,
+            fused_attention=cfg.fused_attention,
         )
 
     @nn.compact
@@ -82,6 +86,7 @@ class MultiTaskNet(nn.Module):
             mlp_dim=self.mlp_dim,
             dtype=self.dtype,
             precision=self.precision,
+            fused=self.fused_attention,
             name="decoder")(feats, need_attnmap=need_attnmap)
         return cls_out, hmap_out, attnmap
 

@@ -30,7 +30,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from hgr_tpu.ops.attention_pallas import fused_attention_qkv, split_heads
+from hgr_tpu.ops.attention_pallas import (
+    _xla_attention_core,
+    fused_attention_qkv,
+    split_heads,
+)
 from hgr_tpu.ops.posemb import pos_emb_sincos_2d
 from hgr_tpu.ops.resize import upsample_bilinear_align_corners
 
@@ -67,6 +71,12 @@ class Attention(nn.Module):
     head_dim: int
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
+    # Batch-partitioned fused attention assumes the feature dim is
+    # replicated; under a tensor-parallel mesh (qkv column-sharded on
+    # 'model') it would force a per-layer all-gather, so TP callers
+    # build the model with fused=False and keep the GSPMD-sharded XLA
+    # chain (parallel/steps.py TP_RULES).
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: Array,
@@ -80,18 +90,18 @@ class Attention(nn.Module):
                        param_dtype=jnp.float32, precision=self.precision,
                        name="to_qkv")(h)
 
-        if need_map:
-            # unfused chain: the post-softmax map is a real output
-            # (reference transformer.py:62-77 / vis.py attention overlays)
+        if need_map or not self.fused:
+            # unfused chain (shared with the kernel parity tests): used
+            # when the post-softmax map is a real output (reference
+            # transformer.py:62-77 / vis.py attention overlays) or when
+            # fused attention is disabled (tensor-parallel meshes — see
+            # the ``fused`` field note).
             q, k, v = split_heads(qkv, self.heads, self.head_dim)
-            dots = jnp.einsum(
-                "bhid,bhjd->bhij", q, k, precision=self.precision
-            ).astype(jnp.float32) * scale
-            attn = jax.nn.softmax(dots, axis=-1)
-            out = jnp.einsum(
-                "bhij,bhjd->bhid", attn.astype(self.dtype), v,
-                precision=self.precision,
-            )
+            out, attn = _xla_attention_core(q, k, v, scale,
+                                            self.precision,
+                                            return_attn=True)
+            if not need_map:
+                attn = None
             out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         else:
             # fused Pallas core on TPU, fed the packed qkv directly: the
@@ -121,6 +131,8 @@ class Transformer(nn.Module):
     mlp_dim: int
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
+    fused: bool = True  # see Attention.fused
+
     @nn.compact
     def __call__(self, x: Array,
                  need_attnmap: bool = True) -> Tuple[Array, Optional[Array]]:
@@ -132,7 +144,7 @@ class Transformer(nn.Module):
             last = i == self.depth - 1
             message, attnmap = Attention(
                 self.dim, self.heads, self.head_dim, dtype=self.dtype,
-                precision=self.precision,
+                precision=self.precision, fused=self.fused,
                 name=f"layers_{i}_attn")(x, need_map=last and need_attnmap)
             x = message + x
             x = FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
@@ -160,6 +172,8 @@ class ViT(nn.Module):
     mlp_dim: int
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
+    fused: bool = True  # see Attention.fused
+
     @nn.compact
     def __call__(self, x: Array,
                  need_attnmap: bool = True
@@ -180,7 +194,7 @@ class ViT(nn.Module):
 
         tokens, attnmap = Transformer(
             self.dim, self.depth, self.heads, self.head_dim, self.mlp_dim,
-            dtype=self.dtype, precision=self.precision,
+            dtype=self.dtype, precision=self.precision, fused=self.fused,
             name="transformer")(tokens, need_attnmap=need_attnmap)
 
         cls_feat = tokens[:, 0]

@@ -34,13 +34,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 
-try:  # pallas TPU backend — absent on pure-CPU installs
+try:  # pallas TPU backend — absent on minimal/older jax installs; the
+    # XLA fallback below keeps the model importable and usable without it
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     _HAS_PLTPU = True
 except Exception:  # pragma: no cover
+    pl = None
     _HAS_PLTPU = False
 
 Array = jax.Array
@@ -135,14 +137,16 @@ def merge_heads(t: Array) -> Array:
 
 
 def _xla_attention_core(q: Array, k: Array, v: Array, scale: float,
-                        precision=None) -> Array:
-    """Unfused chain on heads-first tensors (the need-map path in
-    models/vit.py uses this shape too)."""
+                        precision=None, return_attn: bool = False):
+    """Unfused chain on heads-first tensors. ``return_attn=True`` also
+    returns the post-softmax map — the single implementation the
+    models/vit.py need-map path and the kernel parity tests both use."""
     dots = jnp.einsum("bhid,bhjd->bhij", q, k,
                       precision=precision).astype(jnp.float32) * scale
     attn = jax.nn.softmax(dots, axis=-1)
-    return jnp.einsum("bhij,bhjd->bhid", attn.astype(q.dtype), v,
-                      precision=precision)
+    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(q.dtype), v,
+                     precision=precision)
+    return (out, attn) if return_attn else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))

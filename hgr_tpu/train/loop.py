@@ -162,7 +162,13 @@ def eval_epoch(
     metrics: EpochMetrics,
 ) -> Dict[str, float]:
     metrics.reset()
-    for batch in loader:
+    it = iter(loader)
+    while True:
+        t_wait = time.perf_counter()
+        batch = next(it, None)
+        metrics.loader_wait_s += time.perf_counter() - t_wait
+        if batch is None:
+            break
         m = eval_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
         metrics.update(m)
     return metrics.snapshot()

@@ -115,3 +115,19 @@ def test_custom_vjp_kernel_interpret_matches_xla_grads():
     g_x = jax.grad(loss_xla)(qkv)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_model_fused_attention_flag_plumbs(model_and_vars):
+    """fused_attention=False (the tensor-parallel routing,
+    vit.Attention.fused) must accept the same params and produce the
+    same outputs as the default model on the XLA path."""
+    model, variables = model_and_vars
+    model_tp = MultiTaskNet(fused_attention=False)
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 192, 192, 3),
+                    jnp.float32)
+    c1, h1, _ = model.apply(variables, x, train=False, need_attnmap=False)
+    c2, h2, a2 = model_tp.apply(variables, x, train=False,
+                                need_attnmap=False)
+    assert a2 is None
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
