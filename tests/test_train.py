@@ -185,3 +185,21 @@ def test_profile_steps_writes_trace(tmp_path, synth_dir):
                 EpochMetrics(19), profile_steps=2, profile_dir=prof_dir)
     found = _glob.glob(os.path.join(prof_dir, "**", "*"), recursive=True)
     assert any(os.path.isfile(f) for f in found), found
+
+
+def test_eval_epoch_measures_loader_wait(synth_dir):
+    """eval_epoch must instrument loader blocking like train_epoch does
+    (val/test loader_wait_s was emitted as an unmeasured 0.0 before)."""
+    idx = read_annotations(
+        os.path.join(synth_dir, "annotations", "val"), DEFAULT_NAMES)
+    loader = BatchLoader(idx, batch_size=4, canvas_size=128,
+                         shuffle=False, drop_last=False, num_workers=1)
+    model = MultiTaskNet(image_size=(IMAGE, IMAGE))
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), (1, IMAGE, IMAGE, 3), lr=1e-3,
+        milestones_steps=(10_000,))
+    ev = make_eval_step(image_size=(IMAGE, IMAGE), heatmap_size=(HM, HM))
+    metrics = EpochMetrics(19)
+    snap = eval_epoch(state, ev, loader, metrics)
+    assert "loader_wait_s" in snap
+    assert snap["loader_wait_s"] > 0.0  # real host time was accumulated
