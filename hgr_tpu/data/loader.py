@@ -190,27 +190,55 @@ class BatchLoader:
 
         Producer-thread exceptions (e.g. unreadable images, mirroring the
         reference's hard error at libs/load.py:59-60) re-raise in the
-        consumer instead of silently truncating the epoch."""
-        work: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        consumer instead of silently truncating the epoch.
+
+        Abandoning the iterator early (``next(iter(loader))``, or an
+        exception mid-epoch) must not leak the producer: its puts poll a
+        stop flag, and the consumer's ``finally`` sets it, drains the
+        queue, and joins the thread."""
+        # maxsize=0 would mean UNBOUNDED in queue.Queue — clamp so
+        # prefetch=0 behaves as "minimal prefetch", not "whole epoch".
+        work: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         sentinel = object()
+        stop = threading.Event()
         error: list = []
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    work.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for ids, valid in self._batch_ids():
-                    work.put(self._assemble(ids, valid))
+                    if stop.is_set():
+                        return
+                    if not put(self._assemble(ids, valid)):
+                        return
             except BaseException as e:  # noqa: BLE001 — repropagated below
                 error.append(e)
             finally:
-                work.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = work.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if error:
-            raise error[0]
+        try:
+            while True:
+                item = work.get()
+                if item is sentinel:
+                    break
+                yield item
+            if error:
+                raise error[0]
+        finally:
+            stop.set()
+            try:
+                while True:
+                    work.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

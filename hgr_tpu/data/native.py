@@ -102,6 +102,7 @@ def available() -> bool:
 
 
 _MAX_SIDE = 4096
+_decode_tls = threading.local()
 
 
 def decode_jpeg_bgr(path: str) -> Optional[np.ndarray]:
@@ -110,7 +111,13 @@ def decode_jpeg_bgr(path: str) -> Optional[np.ndarray]:
     if lib is None:
         return None
     cap = _MAX_SIDE * _MAX_SIDE * 3
-    buf = np.empty((cap,), np.uint8)
+    # reuse one decode buffer per worker thread — a fresh 48 MB
+    # allocation per image caused constant large-alloc churn in the
+    # per-sample fallback path
+    buf = getattr(_decode_tls, "buf", None)
+    if buf is None:
+        buf = np.empty((cap,), np.uint8)
+        _decode_tls.buf = buf
     w = ctypes.c_int(0)
     h = ctypes.c_int(0)
     rc = lib.hgr_decode_jpeg(

@@ -97,8 +97,11 @@ def write_synthetic_split(
     for i in range(num_images):
         label_id = i % len(label_names)
         # label-keyed blob color -> the class is recoverable from pixels
+        # (channels offset by thirds of the hue wheel so the three BGR
+        # values actually differ; ``(hue * 3 + k) % 1.0`` with integer k
+        # was a no-op that collapsed every class to a gray level)
         hue = label_id / max(len(label_names), 1)
-        blob = [int(60 + 195 * ((hue * 3 + k) % 1.0)) for k in range(3)]
+        blob = [int(60 + 195 * ((hue + k / 3.0) % 1.0)) for k in range(3)]
         img, joints = make_hand_image(rng, image_size, blob_color=blob)
         image_id = f"syn_{split}_{i:05d}"
         _write_jpeg(os.path.join(img_dir, image_id + ".jpg"), img)

@@ -19,7 +19,6 @@ returns (label, score, box, landmarks); the host only draws and encodes.
 
 from __future__ import annotations
 
-import functools
 import glob
 import os
 from typing import Any, Dict, Iterator, Optional, Tuple
@@ -73,9 +72,21 @@ class HandGesturePipeline:
         self.cls_img_size = cls_img_size
         self.score_thresh = score_thresh
         self.id_to_name = {v: k for k, v in class_names.items()}
+        # per-instance jit cache: an lru_cache on the METHOD would key on
+        # self in a class-level dict, pinning dropped pipelines (both
+        # models' weights + executables) alive
+        self._graph_cache: Dict[Tuple[int, int], Any] = {}
 
-    @functools.lru_cache(maxsize=8)
     def _compiled(self, frame_h: int, frame_w: int, batch: int = 1):
+        # ``batch`` is accepted for caller convenience but not part of
+        # the key: jax.jit re-specializes per input shape by itself.
+        del batch
+        key = (frame_h, frame_w)
+        if key not in self._graph_cache:
+            self._graph_cache[key] = self._build_graph(frame_h, frame_w)
+        return self._graph_cache[key]
+
+    def _build_graph(self, frame_h: int, frame_w: int):
         """Build + jit the fused graph for one frame geometry.
 
         Batched over frames: the reference is strictly frame-serial
@@ -211,7 +222,10 @@ def iter_frames(data_path: str) -> Iterator[np.ndarray]:
             try:
                 import cv2
 
-                yield cv2.imread(f)
+                frame = cv2.imread(f)
+                if frame is None:  # cv2 returns None instead of raising
+                    raise ValueError(f"Fail to read {f}")
+                yield frame
             except ImportError:
                 from PIL import Image
 

@@ -93,6 +93,7 @@ def eval_exported(
         heatmap_size=(image_size[0] // 4, image_size[1] // 4),
         enable_jitter=False)["image"])
 
+    warmed = False
     for batch in loader:
         # 'valid' is a per-sample mask (ones then zeros for tail padding).
         mask = batch.pop("valid", None)
@@ -104,6 +105,14 @@ def eval_exported(
             jnp.asarray(batch["sizes_hw"]),
             jnp.asarray(batch["joints"]),
             jnp.asarray(batch["joints_vis"]))
+        # The latency figure must time the EXPORTED GRAPH only: wait out
+        # the async-dispatched preprocessing, and pay the deserialized
+        # graph's one-time compile outside the timed region (the
+        # reference times steady-state onnxruntime runs, export.py:105).
+        images = jax.block_until_ready(images)
+        if not warmed:
+            jax.block_until_ready(fn(images)[0])
+            warmed = True
         t0 = time.perf_counter()
         logits, _ = fn(images)
         logits = jax.block_until_ready(logits)

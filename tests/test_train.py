@@ -203,3 +203,27 @@ def test_eval_epoch_measures_loader_wait(synth_dir):
     snap = eval_epoch(state, ev, loader, metrics)
     assert "loader_wait_s" in snap
     assert snap["loader_wait_s"] > 0.0  # real host time was accumulated
+
+
+def test_loader_abandoned_iterator_reclaims_producer(synth_dir):
+    """Abandoning a loader iterator (e.g. next(iter(loader)) for a
+    single debug batch) must stop the producer thread instead of leaving
+    it blocked on the bounded queue holding staged batches."""
+    import gc
+    import threading
+    import time as _time
+
+    idx = read_annotations(
+        os.path.join(synth_dir, "annotations", "train"), DEFAULT_NAMES)
+    loader = BatchLoader(idx, batch_size=2, canvas_size=128, shuffle=False,
+                         num_workers=1, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # what GC does to an abandoned generator
+    del it
+    gc.collect()
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
