@@ -104,7 +104,13 @@ def main():
     image_size = (args.image_size[0], args.image_size[1])
     # Tensor-parallel meshes shard the ViT qkv feature dim on 'model' —
     # keep the GSPMD-shardable XLA attention there (vit.Attention.fused).
-    tp_requested = 'model=' in args.mesh
+    # A degenerate 'model=1' axis is NOT tensor-parallel: it keeps the
+    # fused kernel (same predicate drives shard_state below).
+    mesh_shape = {}
+    if args.mesh:
+        mesh_shape = {k: int(v) for k, v in
+                      (kv.split('=') for kv in args.mesh.split(','))}
+    tp_requested = mesh_shape.get('model', 1) > 1
     model_cfg = ModelConfig(
         num_joints=data_cfg.num_joints,
         num_classes=data_cfg.num_classes,
@@ -162,16 +168,14 @@ def main():
 
     mesh = None
     tensor_parallel = False
-    if args.mesh:
+    if mesh_shape:
         from hgr_tpu.parallel.mesh import make_mesh
         from hgr_tpu.parallel.steps import shard_state
 
-        shape = {k: int(v) for k, v in
-                 (kv.split('=') for kv in args.mesh.split(','))}
-        mesh = make_mesh(shape)
-        tensor_parallel = 'model' in shape
+        mesh = make_mesh(mesh_shape)
+        tensor_parallel = tp_requested
         state = shard_state(state, mesh, tensor_parallel)
-        print(f"mesh: {shape}")
+        print(f"mesh: {mesh_shape}")
 
     print(f"{len(train_idx)} train samples, {steps_per_epoch} steps/epoch")
     fit(model_cfg, train_cfg, data_cfg, state, train_loader, val_loader,

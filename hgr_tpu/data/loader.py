@@ -19,6 +19,7 @@ from __future__ import annotations
 import concurrent.futures
 import queue
 import threading
+import warnings
 from typing import Dict, Iterator
 
 import numpy as np
@@ -242,3 +243,10 @@ class BatchLoader:
             except queue.Empty:
                 pass
             t.join(timeout=5.0)
+            if t.is_alive():
+                # daemon status prevents a hang at interpreter exit, but
+                # make a stuck producer (e.g. slow NFS read inside
+                # _assemble) visible instead of silently leaking it
+                warnings.warn("loader producer thread still alive after "
+                              "5s join timeout; abandoning it",
+                              RuntimeWarning, stacklevel=2)

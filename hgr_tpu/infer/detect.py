@@ -83,6 +83,11 @@ class HandGesturePipeline:
         del batch
         key = (frame_h, frame_w)
         if key not in self._graph_cache:
+            # bound the cache: a directory of mixed-geometry images would
+            # otherwise accumulate one executable (+ donated buffers) per
+            # (h, w) for the pipeline's lifetime
+            while len(self._graph_cache) >= 8:
+                self._graph_cache.pop(next(iter(self._graph_cache)))
             self._graph_cache[key] = self._build_graph(frame_h, frame_w)
         return self._graph_cache[key]
 

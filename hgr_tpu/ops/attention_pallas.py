@@ -215,8 +215,13 @@ def _attention_qkv_bwd_kernel(qkv_ref, g_ref, d_ref, *, heads: int,
         dk = jax.lax.dot_general(
             d_scores.T, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        # dv must differentiate the forward as EXECUTED: the fwd kernel
+        # casts attn to the compute dtype before the value matmul, so
+        # quantize the recomputed attn the same way (round-trip through
+        # the output dtype keeps the dot f32×f32 for Mosaic).
+        attn_q = attn.astype(d_ref.dtype).astype(jnp.float32)
         dv = jax.lax.dot_general(
-            attn.T, gh, (((1,), (0,)), ((), ())),
+            attn_q.T, gh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
         d_ref[0, :, lo:lo + head_dim] = dq.astype(d_ref.dtype)
@@ -264,7 +269,10 @@ def _xla_attention_qkv_bwd(qkv, g_out, heads, head_dim, scale):
     d_scores = d_scores * scale
     dq = jnp.einsum("bhij,bhjd->bhid", d_scores, k_f)
     dk = jnp.einsum("bhij,bhid->bhjd", d_scores, q_f)
-    dv = jnp.einsum("bhij,bhid->bhjd", attn, g_f)
+    # match the executed forward, which casts attn to the compute dtype
+    # before the value matmul (see _attention_qkv_kernel)
+    attn_q = attn.astype(qkv.dtype).astype(jnp.float32)
+    dv = jnp.einsum("bhij,bhid->bhjd", attn_q, g_f)
     return jnp.concatenate(
         [merge_heads(t).astype(qkv.dtype) for t in (dq, dk, dv)], axis=-1)
 
@@ -276,7 +284,9 @@ def _fwd(qkv, heads, head_dim, scale, interpret, precision):
 
 def _bwd(heads, head_dim, scale, interpret, precision, qkv, g_out):
     # No N×N residual was saved (that is the point of the fused
-    # forward); the bwd kernel recomputes attn in VMEM.
+    # forward); the bwd kernel recomputes attn in VMEM. Softmax stats are
+    # f32 (as in the fwd) and attn is quantized to the compute dtype
+    # before dv so the VJP differentiates the forward as executed.
     if not _HAS_PLTPU or (not interpret
                           and jax.default_backend() not in ("tpu", "axon")):
         return (_xla_attention_qkv_bwd(qkv, g_out, heads, head_dim, scale),)

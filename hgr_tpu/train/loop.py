@@ -337,6 +337,8 @@ def fit(
         test_metrics = EpochMetrics(num_classes)
         test = eval_epoch(best_state, eval_step, test_loader, test_metrics)
         print("Test F1 Score: {:.4f}".format(test["epoch_f1"]))
+        logger.log(int(state.step),
+                   {f"test/{k}": v for k, v in test.items()})
         _save_confusion_png(
             np.asarray(test_metrics.conf), list(data_cfg.names.keys()),
             os.path.join(save_path, "confusion_matrix.png"))
