@@ -58,11 +58,13 @@ PREFERRED_CANVAS_DTYPE = "float32"
 
 
 def _chunked_lane_gather(panels, idx):
-    """Gather along the last axis of a (S, S) value stored as a list of
-    (S, 128) panels: out[r, j] = value[r, idx[r, j]].
+    """Gather along the last axis of a (R, S) value stored as a list of
+    (R, 128) panels: out[r, j] = value[r, idx[r, j]].
 
-    idx: (S, 128) int32 (one output chunk). Uses one tpu.dynamic_gather
-    per source panel + selects (the only gather shape Mosaic accepts).
+    idx: (R, W) int32 (one output chunk; W need not be 128 — Mosaic's
+    dynamic_gather constrains the OPERAND to 128 lanes, the index/result
+    tile just follows normal lane padding). Uses one tpu.dynamic_gather
+    per source panel + selects.
     """
     out = None
     for p, panel in enumerate(panels):
@@ -74,6 +76,38 @@ def _chunked_lane_gather(panels, idx):
             out = jnp.where((idx >= p * LANE) & (idx < (p + 1) * LANE),
                             vals, out)
     return out
+
+
+def _chunk_spans(total: int, tail_ok: bool):
+    """(offset, width) lane chunks covering [0, total). With ``tail_ok``
+    the last chunk may be a partial 8-lane-aligned width (e.g. 192 ->
+    [(0,128), (128,64)]); otherwise widths are full 128-lane panels
+    rounded up (192 -> [(0,128), (128,128)])."""
+    spans = []
+    off = 0
+    while off < total:
+        w = min(LANE, total - off) if tail_ok else LANE
+        spans.append((off, w))
+        off += w
+    return spans
+
+
+def _taps(pos, s_dim: int):
+    """Clamped bilinear taps (i0, i1, frac) for source positions ``pos``.
+
+    The fraction is derived from the CLAMPED integer tap — not from
+    ``pos - floor(pos)`` — and clipped to [0, 1]. XLA may duplicate the
+    ``pos`` affine into different fusions with different FMA contraction;
+    at an exactly-integer position the two copies can floor to k-1 vs k,
+    and a fraction taken from the other copy then pairs weight ~1 with
+    the wrong tap (a full-pixel misread, caught by the padded-canvas
+    golden). Tying frac to the tap index keeps the blend self-consistent
+    to 1 ulp regardless of which copy each consumer sees, and is exactly
+    floor/frac for in-range positions."""
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, s_dim - 1)
+    i1 = jnp.minimum(i0 + 1, s_dim - 1)
+    frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
+    return i0, i1, frac
 
 
 def _hsv_jitter_planes(b, g, r, gh, gs, gv):
@@ -121,9 +155,18 @@ def _hsv_jitter_planes(b, g, r, gh, gs, gv):
     return clip255(b2 + m), clip255(g2 + m), clip255(r2 + m)
 
 
-def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int,
-                 with_jitter: bool):
-    """One image: img_ref (1, 3, S, S) -> out_ref (1, 3, S, S).
+def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int, ow_x: int,
+                 ow_y: int, with_jitter: bool, tail_ok: bool):
+    """One image: img_ref (1, 3, S, S) -> out_ref (1, 3, Y, ow_x) where
+    Y covers [0, ow_y) (exactly ow_y with partial tail chunks, rounded
+    up to full 128-lane panels otherwise).
+
+    Only the output window the caller will keep is resampled: pass 2
+    computes ow_x rows instead of S (the round-2 kernel resampled the
+    full S×S canvas and sliced afterwards — 25% wasted gathers at
+    S=256/out=192), and the per-tap index arithmetic is hoisted out of
+    the channel loop (it is channel-invariant; the round-2 kernel
+    recomputed it 3×).
 
     ``params_ref`` is the whole (B, 10) array scalar-prefetched into SMEM
     (PrefetchScalarGridSpec); rows indexed by the image grid axis.
@@ -137,70 +180,82 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int,
     u2 = params_ref[i, 5]
 
     # canvas may arrive as uint8 (4x less HBM traffic); compute in f32
-    bch = img_ref[0, 0].astype(jnp.float32)
-    gch = img_ref[0, 1].astype(jnp.float32)
-    rch = img_ref[0, 2].astype(jnp.float32)
+    chans = [img_ref[0, c].astype(jnp.float32) for c in range(3)]
     if with_jitter:
-        jb, jg, jr = _hsv_jitter_planes(
-            bch, gch, rch, params_ref[i, 6], params_ref[i, 7],
-            params_ref[i, 8])
+        jittered = _hsv_jitter_planes(
+            chans[0], chans[1], chans[2], params_ref[i, 6],
+            params_ref[i, 7], params_ref[i, 8])
         do_j = params_ref[i, 9] > 0.0
-        bch = jnp.where(do_j, jb, bch)
-        gch = jnp.where(do_j, jg, gch)
-        rch = jnp.where(do_j, jr, rch)
+        chans = [jnp.where(do_j, j, c) for j, c in zip(jittered, chans)]
 
-    for ch_idx, img in enumerate((bch, gch, rch)):
-        _warp_one_channel(img, out_ref, ch_idx, alpha, beta, gamma, s2, t2,
-                          u2, s_dim)
-
-
-def _warp_one_channel(img, out_ref, ch_idx, alpha, beta, gamma, s2, t2, u2,
-                      s_dim):
     n_panels = s_dim // LANE
-    src_panels = [img[:, p * LANE:(p + 1) * LANE] for p in range(n_panels)]
+    src_panels = [[ch[:, p * LANE:(p + 1) * LANE] for p in range(n_panels)]
+                  for ch in chans]
 
-    # ---- pass 1: horizontal resample, chunk over output columns ----
-    k_col = jax.lax.broadcasted_iota(jnp.int32, (s_dim, LANE), 0).astype(jnp.float32)
-    h_chunks = []
-    for c in range(n_panels):
-        xprime = (jax.lax.broadcasted_iota(jnp.int32, (s_dim, LANE), 1)
-                  .astype(jnp.float32) + c * LANE)
+    # ---- pass 1: horizontal resample over x' chunks in [0, ow_x) ----
+    h_chunks = [[], [], []]
+    for off, w in _chunk_spans(ow_x, tail_ok):
+        k_col = (jax.lax.broadcasted_iota(jnp.int32, (s_dim, w), 0)
+                 .astype(jnp.float32))
+        xprime = (jax.lax.broadcasted_iota(jnp.int32, (s_dim, w), 1)
+                  .astype(jnp.float32) + off)
         pos = alpha * xprime + beta * k_col + gamma
-        x0 = jnp.floor(pos)
-        fx = pos - x0
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, s_dim - 1)
-        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, s_dim - 1)
-        left = _chunked_lane_gather(src_panels, x0i)
-        right = _chunked_lane_gather(src_panels, x1i)
-        h_chunks.append(left * (1.0 - fx) + right * fx)
-    h = jnp.concatenate(h_chunks, axis=1)  # (S, S): H[k, x']
+        x0i, x1i, fx = _taps(pos, s_dim)
+        for ci in range(3):
+            left = _chunked_lane_gather(src_panels[ci], x0i)
+            right = _chunked_lane_gather(src_panels[ci], x1i)
+            h_chunks[ci].append(left * (1.0 - fx) + right * fx)
 
     # ---- pass 2: vertical resample via transpose + lane gather ----
-    ht = h.T  # (S, S): Ht[x', k]
-    ht_panels = [ht[:, p * LANE:(p + 1) * LANE] for p in range(n_panels)]
-    xprime_col = jax.lax.broadcasted_iota(jnp.int32, (s_dim, LANE), 0).astype(jnp.float32)
-    out_chunks = []
-    for c in range(n_panels):
-        yprime = (jax.lax.broadcasted_iota(jnp.int32, (s_dim, LANE), 1)
-                  .astype(jnp.float32) + c * LANE)
+    ht_panels = []
+    for ci in range(3):
+        h = jnp.concatenate(h_chunks[ci], axis=1)  # (S, >=ow_x): H[k, x']
+        ht = h[:, :ow_x].T  # (ow_x, S): Ht[x', k]
+        ht_panels.append([ht[:, p * LANE:(p + 1) * LANE]
+                          for p in range(n_panels)])
+
+    out_chunks = [[], [], []]
+    for off, w in _chunk_spans(ow_y, tail_ok):
+        xprime_col = (jax.lax.broadcasted_iota(jnp.int32, (ow_x, w), 0)
+                      .astype(jnp.float32))
+        yprime = (jax.lax.broadcasted_iota(jnp.int32, (ow_x, w), 1)
+                  .astype(jnp.float32) + off)
         pos = s2 * xprime_col + t2 * yprime + u2
-        y0 = jnp.floor(pos)
-        fy = pos - y0
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, s_dim - 1)
-        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, s_dim - 1)
-        top = _chunked_lane_gather(ht_panels, y0i)
-        bot = _chunked_lane_gather(ht_panels, y1i)
-        out_chunks.append(top * (1.0 - fy) + bot * fy)
-    out_t = jnp.concatenate(out_chunks, axis=1)  # (S, S): out[x', y']
-    out_ref[0, ch_idx] = out_t.T
+        y0i, y1i, fy = _taps(pos, s_dim)
+        for ci in range(3):
+            top = _chunked_lane_gather(ht_panels[ci], y0i)
+            bot = _chunked_lane_gather(ht_panels[ci], y1i)
+            out_chunks[ci].append(top * (1.0 - fy) + bot * fy)
+
+    for ci in range(3):
+        out_t = jnp.concatenate(out_chunks[ci], axis=1)  # (ow_x, Y)
+        out_ref[0, ci] = out_t.T  # (Y, ow_x): out[y', x']
 
 
-def _warp_one_call(params_c: Array, chw_c: Array, *, with_jitter: bool,
-                   interpret: bool) -> Array:
-    """One pallas_call over a ≤_MAX_GRID_B batch chunk."""
+# Partial (sub-128-lane) tail chunks: REJECTED by this Mosaic toolchain —
+# the gather lowering asserts the index tile has the operand's exact
+# shape (lowering.py:_gather_lowering_rule), so a 64-lane tail idx would
+# need a 64-lane operand, which dynamic_gather forbids (128 lanes only).
+# Probed on the real TPU (BENCH_LOG round 3). With False, chunks round up
+# to full panels (same numerics, ~25% extra tail work at 192/256).
+TAIL_CHUNKS_OK = False
+
+
+def _out_extent(ow: int, tail_ok: bool) -> int:
+    """Concatenated output width the kernel actually produces."""
+    return sum(w for _, w in _chunk_spans(ow, tail_ok))
+
+
+def _warp_one_call(params_c: Array, chw_c: Array, *, ow_x: int, ow_y: int,
+                   with_jitter: bool, interpret: bool) -> Array:
+    """One pallas_call over a ≤_MAX_GRID_B batch chunk. Output block is
+    (1, 3, Y, ow_x) with Y = chunk-covered extent of ow_y."""
     nb, c, s_dim, _ = chw_c.shape
-    kernel = functools.partial(_warp_kernel, s_dim=s_dim,
-                               with_jitter=with_jitter)
+    tail_ok = TAIL_CHUNKS_OK
+    y_ext = _out_extent(ow_y, tail_ok)
+    kernel = functools.partial(_warp_kernel, s_dim=s_dim, ow_x=ow_x,
+                               ow_y=ow_y, with_jitter=with_jitter,
+                               tail_ok=tail_ok)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -208,19 +263,19 @@ def _warp_one_call(params_c: Array, chw_c: Array, *, with_jitter: bool,
             pl.BlockSpec((1, 3, s_dim, s_dim),
                          lambda i, params: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 3, s_dim, s_dim),
+        out_specs=pl.BlockSpec((1, 3, y_ext, ow_x),
                                lambda i, params: (i, 0, 0, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, c, s_dim, s_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, c, y_ext, ow_x), jnp.float32),
         interpret=interpret,
     )(params_c, chw_c)
 
 
-def _warp_chunk_impl(params_c: Array, chw_c: Array, *, with_jitter: bool,
-                     interpret: bool) -> Array:
+def _warp_chunk_impl(params_c: Array, chw_c: Array, *, ow_x: int, ow_y: int,
+                     with_jitter: bool, interpret: bool) -> Array:
     """Warp any batch size, splitting into ≤_MAX_GRID_B pallas_calls.
 
     Scalar-prefetch SMEM + grid bookkeeping overflow the 1 MB SMEM just
@@ -231,22 +286,24 @@ def _warp_chunk_impl(params_c: Array, chw_c: Array, *, with_jitter: bool,
     sliced ones."""
     b = chw_c.shape[0]
     if b <= _MAX_GRID_B:
-        return _warp_one_call(params_c, chw_c, with_jitter=with_jitter,
-                              interpret=interpret)
+        return _warp_one_call(params_c, chw_c, ow_x=ow_x, ow_y=ow_y,
+                              with_jitter=with_jitter, interpret=interpret)
     return jnp.concatenate(
         [_warp_one_call(params_c[s:s + _MAX_GRID_B],
-                        chw_c[s:s + _MAX_GRID_B],
+                        chw_c[s:s + _MAX_GRID_B], ow_x=ow_x, ow_y=ow_y,
                         with_jitter=with_jitter, interpret=interpret)
          for s in range(0, b, _MAX_GRID_B)], axis=0)
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_warp_chunk(with_jitter: bool, interpret: bool):
+def _sharded_warp_chunk(ow_x: int, ow_y: int, with_jitter: bool,
+                        interpret: bool):
     """Batch-partitioned warp launcher (one cached op per config)."""
     return batch_partitioned(
         lambda params_c, chw_c: _warp_chunk_impl(
-            params_c, chw_c, with_jitter=with_jitter, interpret=interpret),
-        sharding_rule="b p, b c s t -> b c s t")
+            params_c, chw_c, ow_x=ow_x, ow_y=ow_y, with_jitter=with_jitter,
+            interpret=interpret),
+        sharding_rule="b p, b c s t -> b c y x")
 
 
 def warp_twopass_pallas(
@@ -313,14 +370,21 @@ def warp_twopass_pallas(
 
     chw = jnp.moveaxis(imgs_sel, -1, 1)  # (B, 3, S, S)
 
+    # The kernel only resamples the output window (8-lane aligned); the
+    # canvas beyond it is never warped (it was in round 2 — 25% wasted
+    # pass-2 gathers at 256->192).
+    ow_x = min(-(-out_w // 8) * 8, s_dim)
+    ow_y = min(-(-out_h // 8) * 8, s_dim)
     if multi_device():
         # mesh programs: GSPMD can't partition a Mosaic custom call on
         # its own — route through the batch-partitioned wrapper
         # (ops/partitioning.py); each device warps its batch shard
         # (SMEM chunking happens per shard inside _warp_chunk_impl).
-        out_chw = _sharded_warp_chunk(with_jitter, interpret)(params, chw)
+        out_chw = _sharded_warp_chunk(ow_x, ow_y, with_jitter,
+                                      interpret)(params, chw)
     else:
-        out_chw = _warp_chunk_impl(params, chw, with_jitter=with_jitter,
+        out_chw = _warp_chunk_impl(params, chw, ow_x=ow_x, ow_y=ow_y,
+                                   with_jitter=with_jitter,
                                    interpret=interpret)
 
     out = jnp.moveaxis(out_chw, 1, -1)[:, :out_h, :out_w, :]
