@@ -22,6 +22,27 @@ Array = jax.Array
 Dtype = Any
 
 
+def torch_kernel_init():
+    """torch Conv2d/Linear default init: kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (torch nn/init defaults used
+    throughout the reference model/). Flax's lecun_normal default is
+    1.73x wider per layer; through the ViT's unnormalized residual/pose
+    path that compounds to a ~4x larger initial heatmap scale, which
+    measurably slows the reference recipe's convergence (round-3
+    head-to-head: initial joints loss 0.48 vs 0.05)."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch Conv2d/Linear default bias init: U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
     """'same'-shape padding for odd kernels (reference model/gelan.py:5-14)."""
     if d > 1:
@@ -56,6 +77,7 @@ class ConvBnAct(nn.Module):
             feature_group_count=self.groups,
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=False,
+            kernel_init=torch_kernel_init(),
             dtype=self.dtype,
             param_dtype=jnp.float32,
             precision=self.precision,

@@ -71,8 +71,11 @@ class MultiTaskNet(nn.Module):
         x = x.astype(self.dtype)
         feats = GELANNet(self.backbone, dtype=self.dtype,
                          precision=self.precision, name="encoder")(x, train)
+        from hgr_tpu.models.layers import torch_kernel_init
+
         feats = nn.Conv(self.dim, kernel_size=(1, 1), use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=torch_kernel_init(),
                         precision=self.precision, name="proj")(feats)
         h, w = self.image_size[0] // 16, self.image_size[1] // 16
         cls_out, hmap_out, attnmap = ViT(

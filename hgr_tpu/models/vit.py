@@ -30,6 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from hgr_tpu.models.layers import torch_bias_init, torch_kernel_init
 from hgr_tpu.ops.attention_pallas import (
     _xla_attention_core,
     fused_attention_qkv,
@@ -55,10 +56,15 @@ class FeedForward(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, precision=self.precision,
+                     kernel_init=torch_kernel_init(),
+                     bias_init=torch_bias_init(self.dim),
                      name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     precision=self.precision, name="fc2")(x)
+                     precision=self.precision,
+                     kernel_init=torch_kernel_init(),
+                     bias_init=torch_bias_init(self.hidden_dim),
+                     name="fc2")(x)
         return x
 
 
@@ -88,7 +94,7 @@ class Attention(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32, precision=self.precision,
-                       name="to_qkv")(h)
+                       kernel_init=torch_kernel_init(), name="to_qkv")(h)
 
         if need_map or not self.fused:
             # unfused chain (shared with the kernel parity tests): used
@@ -116,7 +122,7 @@ class Attention(nn.Module):
         # (heads=8, head_dim=32, dim=256 -> transformer.py:50-63).
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32, precision=self.precision,
-                       name="to_out")(out)
+                       kernel_init=torch_kernel_init(), name="to_out")(out)
         return out, attn
 
 
@@ -204,7 +210,8 @@ class ViT(nn.Module):
             epsilon=1e-5, dtype=jnp.float32, name="mlp_head_norm")(cls_feat)
         cls_out = nn.Dense(
             self.num_classes, dtype=jnp.float32, param_dtype=jnp.float32,
-            precision=self.precision, name="mlp_head_fc")(cls_out)
+            precision=self.precision, kernel_init=torch_kernel_init(),
+            bias_init=torch_bias_init(self.dim), name="mlp_head_fc")(cls_out)
 
         hmap = hmap_feat.reshape(b, h, w, self.dim)
         # align_corners=True x4 bilinear as two MXU matmuls (ops/resize.py),
@@ -222,6 +229,8 @@ class ViT(nn.Module):
         hmap_out = nn.Conv(
             self.num_joints, kernel_size=(1, 1), use_bias=True,
             dtype=self.dtype, param_dtype=jnp.float32,
-            precision=self.precision, name="simple_decoder_conv")(hmap)
+            precision=self.precision, kernel_init=torch_kernel_init(),
+            bias_init=torch_bias_init(self.dim),
+            name="simple_decoder_conv")(hmap)
 
         return cls_out, hmap_out.astype(jnp.float32), attnmap

@@ -59,9 +59,12 @@ class ConvAct(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         p = self.kernel_size // 2
+        from hgr_tpu.models.layers import torch_kernel_init
+
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     strides=(self.strides, self.strides),
                     padding=((p, p), (p, p)), use_bias=False,
+                    kernel_init=torch_kernel_init(),
                     dtype=self.dtype, param_dtype=jnp.float32,
                     precision=self.precision, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
