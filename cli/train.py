@@ -140,11 +140,13 @@ def main():
             drop_last=drop_last, num_workers=args.num_workers,
             window_frac=window_frac)
 
-    # train drops the ragged tail (static shapes, like the reference's
-    # drop_last train DataLoader); val/test keep it — every sample is
-    # evaluated exactly once (reference libs/load.py:289-305).
+    # No split drops its ragged tail: the reference's DataLoaders all
+    # default drop_last=False (libs/load.py:280-305), so the train tail
+    # batch is padded by sample-repetition and masked out of the loss/
+    # metrics (hgr_tpu/data/loader.py) — static shapes AND every sample
+    # trains each epoch.
     train_idx, train_loader = make_loader(
-        os.path.join(data_cfg.path, data_cfg.train), True, True)
+        os.path.join(data_cfg.path, data_cfg.train), True, False)
     _, val_loader = make_loader(
         os.path.join(data_cfg.path, data_cfg.val), False, False)
     _, test_loader = make_loader(
