@@ -32,13 +32,18 @@ DEFAULT_OUT = os.path.join(REPO, "tests", "fixtures",
 
 
 def make_scene(rng: np.random.RandomState, size: int = 416,
-               pad_prob: float = 0.3) -> Tuple[np.ndarray, np.ndarray]:
+               pad_prob: float = 0.3,
+               shrink_prob: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
     """One synthetic frame: textured background + pasted hand crop.
 
     Returns (frame uint8 (size, size, 3) BGR, gt (4,) cxcywh pixels).
     ``pad_prob`` adds letterbox-style 114-gray bars so the detector
     also sees the padding the serving letterbox introduces
-    (reference detect.py:15-45 pads with 114)."""
+    (reference detect.py:15-45 pads with 114). ``shrink_prob``
+    additionally rehearses the serving letterbox's downscale: wide
+    frames (e.g. 480x640 -> r = 416/640 = 0.65) shrink the whole scene,
+    so training must cover sub-1.0 scale or the detector is
+    out-of-distribution exactly where the pipeline runs it."""
     from hgr_tpu.data.synthetic import make_hand_image
 
     frame = np.empty((size, size, 3), np.uint8)
@@ -65,7 +70,31 @@ def make_scene(rng: np.random.RandomState, size: int = 416,
     frame[y0:y0 + hand_size, x0:x0 + hand_size] = crop
     gt = np.array([x0 + hand_size / 2.0, y0 + hand_size / 2.0,
                    float(hand_size), float(hand_size)], np.float32)
+
+    if rng.rand() < shrink_prob:
+        # serving-letterbox rehearsal: downscale the composed scene and
+        # center it on 114 gray, exactly like a wide frame letterboxed
+        # to the square detector input
+        f = rng.uniform(0.55, 0.95)
+        new = max(32, int(round(size * f)))
+        small = _resize_u8(frame, new)
+        off = (size - new) // 2
+        frame = np.full((size, size, 3), 114, np.uint8)
+        frame[off:off + new, off:off + new] = small
+        scale = new / float(size)
+        gt = np.array([gt[0] * scale + off, gt[1] * scale + off,
+                       gt[2] * scale, gt[3] * scale], np.float32)
     return frame, gt
+
+
+def _resize_u8(img: np.ndarray, new: int) -> np.ndarray:
+    try:
+        import cv2
+
+        return cv2.resize(img, (new, new), interpolation=cv2.INTER_AREA)
+    except ImportError:
+        idx = (np.arange(new) * (img.shape[0] / new)).astype(np.int32)
+        return img[idx][:, idx]
 
 
 def make_batch(rng, batch: int, size: int = 416):
@@ -99,8 +128,12 @@ def flatten_vars(tree, prefix=""):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--steps", type=int, default=800)
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--unique_batches", type=int, default=250,
+                   help="pre-generated batches cycled during training "
+                        "(scene gen is ~2 s/batch on this 1-core host; "
+                        "4000 unique scenes are plenty for the smoke)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--size", type=int, default=416)
     p.add_argument("--eval_n", type=int, default=64)
@@ -140,8 +173,12 @@ def main():
         return params, new_stats, opt_state, total, parts
 
     t0 = time.time()
+    pool = [make_batch(rng, args.batch, args.size)
+            for _ in range(min(args.unique_batches, args.steps))]
+    print(f"scene pool: {len(pool)} batches in {time.time() - t0:.0f}s",
+          flush=True)
     for step in range(args.steps):
-        frames, gts = make_batch(rng, args.batch, args.size)
+        frames, gts = pool[step % len(pool)]
         params, batch_stats, opt_state, total, parts = train_step(
             params, batch_stats, opt_state, jnp.asarray(frames),
             jnp.asarray(gts))

@@ -37,7 +37,10 @@ def _frames(n: int, fh: int = 480, fw: int = 640):
     frames = np.full((n, fh, fw, 3), 0, np.uint8)
     gts = np.zeros((n, 4), np.float32)
     for i in range(n):
-        scene, gt = make_scene(rng, size=416, pad_prob=0.0)
+        # shrink_prob off: the 480x640 placement already letterbox-
+        # shrinks the scene by 416/640 = 0.65 in the serving graph
+        scene, gt = make_scene(rng, size=416, pad_prob=0.0,
+                               shrink_prob=0.0)
         # place the 416-square scene inside the 480x640 frame
         oy = (fh - 416) // 2
         ox = (fw - 416) // 2
@@ -63,7 +66,7 @@ def test_trained_detector_localizes_through_full_pipeline():
     import jax
 
     from hgr_tpu.config import DEFAULT_NAMES
-    from hgr_tpu.infer.detect import Detect
+    from hgr_tpu.infer.detect import HandGesturePipeline
     from hgr_tpu.models import MultiTaskNet
     from hgr_tpu.models.yolo import load_npz_weights
 
@@ -74,7 +77,8 @@ def test_trained_detector_localizes_through_full_pipeline():
     cls_vars = cls_model.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 192, 192, 3)), train=False)
 
-    pipe = Detect(cls_vars, det_vars, DEFAULT_NAMES, score_thresh=0.2)
+    pipe = HandGesturePipeline(cls_vars, det_vars, DEFAULT_NAMES,
+                               score_thresh=0.2)
     n = 6
     frames, gts = _frames(n)
     results = pipe.infer_frames(frames)
@@ -86,8 +90,9 @@ def test_trained_detector_localizes_through_full_pipeline():
     for i, res in enumerate(results):
         if res is None:
             continue
-        # pipeline returns the square-expanded box (reference
-        # detect.py:134-138); GT here is already square so IoU is direct
+        # result["box"] is the un-letterboxed detector box in frame
+        # space (detect graph pre-square-expand); the synthetic hand is
+        # square so IoU against the square GT is direct
         iou = _iou(np.asarray(res["box"], np.float32), gt_xyxy[i])
         if iou > 0.5:
             hits += 1

@@ -75,12 +75,15 @@ def test_warp_chunk_partitioned_matches_single():
     # behavior of the two-pass method) — so batch-8-at-once is not
     # bitwise comparable to eight batch-1 lowerings. Partitioning must
     # reproduce the per-shard lowering exactly.
+    ow = 96  # output window < canvas (the round-3 kernel resamples
+    # only the output extent; _out_extent pads Y to full chunks)
     want = np.concatenate([
         np.asarray(_warp_chunk_impl(params[i:i + 1], chw[i:i + 1],
+                                    ow_x=ow, ow_y=ow,
                                     with_jitter=False, interpret=True))
         for i in range(b)])
 
-    op = _sharded_warp_chunk(False, True)
+    op = _sharded_warp_chunk(ow, ow, False, True)
     sh = NamedSharding(mesh, P("data"))
     got = jax.jit(op)(jax.device_put(params, sh), jax.device_put(chw, sh))
     np.testing.assert_array_equal(np.asarray(got), want)
