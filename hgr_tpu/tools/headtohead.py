@@ -31,6 +31,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def _pythonpath_with_repo() -> str:
+    """Prepend the repo to PYTHONPATH without clobbering the inherited
+    value — the TPU backend plugin itself may be resolved via PYTHONPATH
+    (replacing it breaks jax backend discovery in the child)."""
+    existing = os.environ.get("PYTHONPATH", "")
+    return REPO + (os.pathsep + existing if existing else "")
+
+
 def build_fixture(root: str, train_n: int, val_n: int, test_n: int,
                   image_size: int = 224) -> str:
     """Shared fixture + data-config YAML (reference configs/hagrid.yaml
@@ -76,7 +84,7 @@ def run_reference(cfg: str, workdir: str, args) -> str:
            "--lr_step", *[str(s) for s in args.lr_step],
            "--lr_factor", str(args.lr_factor), "--sigma", str(args.sigma),
            "--seed", str(args.seed), "--out", out]
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ, PYTHONPATH=_pythonpath_with_repo())
     subprocess.run(cmd, check=True, cwd=REPO, env=env)
     return out
 
@@ -93,7 +101,7 @@ def run_ours(cfg: str, workdir: str, args) -> str:
            "--seed", str(args.seed), "--dtype", args.ours_dtype,
            "--num_workers", "2",
            "--save_dir", save_dir, "--log_dir", log_dir]
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ, PYTHONPATH=_pythonpath_with_repo())
     if args.ours_platform:
         env["JAX_PLATFORMS"] = args.ours_platform
     subprocess.run(cmd, check=True, cwd=REPO, env=env)
