@@ -59,6 +59,12 @@ def parse_args():
                              'N train steps (written to '
                              '<save_dir>/<run>/profile; view with '
                              'TensorBoard/xprof)')
+    parser.add_argument('--device_cache', action='store_true',
+                        help='stage the train/val splits into HBM once '
+                             'and serve epochs by on-device gather — '
+                             'removes the per-epoch host->device upload '
+                             'on link-bound hosts (single-device only; '
+                             'hgr_tpu/data/device_cache.py)')
     parser.add_argument('--debug_images', action='store_true',
                         help='dump GT/pred/heatmap grids every 100 train '
                              'batches and one val batch (with attention) '
@@ -132,9 +138,18 @@ def main():
 
     window_frac = staging_window_fraction(data_cfg.augments)
 
-    def make_loader(split_dir, shuffle, drop_last):
+    if args.device_cache and args.mesh:
+        raise SystemExit("--device_cache is single-device (see "
+                         "hgr_tpu/data/device_cache.py for the sharded "
+                         "design); drop --mesh or --device_cache")
+
+    def make_loader(split_dir, shuffle, drop_last, cache=False):
         idx = read_annotations(split_dir, data_cfg.names)
-        return idx, BatchLoader(
+        cls = BatchLoader
+        if cache and args.device_cache:
+            from hgr_tpu.data.device_cache import DeviceCacheLoader
+            cls = DeviceCacheLoader
+        return idx, cls(
             idx, batch_size=args.batch_size, canvas_size=args.canvas_size,
             num_joints=data_cfg.num_joints, shuffle=shuffle, seed=args.seed,
             drop_last=drop_last, num_workers=args.num_workers,
@@ -145,10 +160,12 @@ def main():
     # batch is padded by sample-repetition and masked out of the loss/
     # metrics (hgr_tpu/data/loader.py) — static shapes AND every sample
     # trains each epoch.
+    # test streams even under --device_cache: it runs once at the end,
+    # so resident HBM is better spent on the train/val sets.
     train_idx, train_loader = make_loader(
-        os.path.join(data_cfg.path, data_cfg.train), True, False)
+        os.path.join(data_cfg.path, data_cfg.train), True, False, cache=True)
     _, val_loader = make_loader(
-        os.path.join(data_cfg.path, data_cfg.val), False, False)
+        os.path.join(data_cfg.path, data_cfg.val), False, False, cache=True)
     _, test_loader = make_loader(
         os.path.join(data_cfg.path, data_cfg.test), False, False)
 
