@@ -138,22 +138,35 @@ def main():
 
     window_frac = staging_window_fraction(data_cfg.augments)
 
-    if args.device_cache and args.mesh:
-        raise SystemExit("--device_cache is single-device (see "
-                         "hgr_tpu/data/device_cache.py for the sharded "
-                         "design); drop --mesh or --device_cache")
+    if args.device_cache and tp_requested:
+        raise SystemExit("--device_cache supports single-device and "
+                         "pure-DP meshes; tensor-parallel meshes would "
+                         "replicate the cache across 'model' (see "
+                         "hgr_tpu/data/device_cache.py)")
+
+    mesh = None
+    if mesh_shape:
+        from hgr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(mesh_shape)
+        print(f"mesh: {mesh_shape}")
 
     def make_loader(split_dir, shuffle, drop_last, cache=False):
         idx = read_annotations(split_dir, data_cfg.names)
-        cls = BatchLoader
-        if cache and args.device_cache:
-            from hgr_tpu.data.device_cache import DeviceCacheLoader
-            cls = DeviceCacheLoader
-        return idx, cls(
-            idx, batch_size=args.batch_size, canvas_size=args.canvas_size,
+        kw = dict(
+            batch_size=args.batch_size, canvas_size=args.canvas_size,
             num_joints=data_cfg.num_joints, shuffle=shuffle, seed=args.seed,
             drop_last=drop_last, num_workers=args.num_workers,
             window_frac=window_frac)
+        if cache and args.device_cache:
+            if mesh is not None:
+                from hgr_tpu.data.device_cache import (
+                    ShardedDeviceCacheLoader,
+                )
+                return idx, ShardedDeviceCacheLoader(idx, mesh, **kw)
+            from hgr_tpu.data.device_cache import DeviceCacheLoader
+            return idx, DeviceCacheLoader(idx, **kw)
+        return idx, BatchLoader(idx, **kw)
 
     # No split drops its ragged tail: the reference's DataLoaders all
     # default drop_last=False (libs/load.py:280-305), so the train tail
@@ -185,16 +198,12 @@ def main():
             state = ckpt.restore(state, "last")
             print(f"resumed from step {int(state.step)}")
 
-    mesh = None
     tensor_parallel = False
-    if mesh_shape:
-        from hgr_tpu.parallel.mesh import make_mesh
+    if mesh is not None:
         from hgr_tpu.parallel.steps import shard_state
 
-        mesh = make_mesh(mesh_shape)
         tensor_parallel = tp_requested
         state = shard_state(state, mesh, tensor_parallel)
-        print(f"mesh: {mesh_shape}")
 
     print(f"{len(train_idx)} train samples, {steps_per_epoch} steps/epoch")
     fit(model_cfg, train_cfg, data_cfg, state, train_loader, val_loader,

@@ -20,10 +20,14 @@ streaming run see exactly the same batch compositions
 
 Sizing: a 100k-image split at canvas 192 is 11.1 GB of uint8 — it fits a
 single 16 GB v5e chip beside the 7.4M-param model. Larger-than-HBM sets
-(full HaGRID at canvas 192 is ~45 GB) shard naturally over a mesh's
-'data' axis — each chip holds N/d samples and gathers within its shard
-(within-shard shuffle, the standard sharded-input recipe); that variant
-is not wired yet and ``DeviceCacheLoader`` raises under a mesh.
+(full HaGRID at canvas 192 is ~45 GB) shard over a mesh's 'data' axis:
+``ShardedDeviceCacheLoader`` gives each chip a contiguous N/d-sample
+shard and serves batches with WITHIN-SHARD shuffling through a
+``shard_map`` gather — each device reads only its local shard, so no
+collective ever moves canvas bytes over ICI. Within-shard (vs global)
+shuffle is the standard sharded-input recipe; every real sample still
+trains exactly once per epoch (per-shard tail repeats carry valid=0
+masks, consumed by the loss/metrics masking like the streaming tail).
 
 No reference counterpart: the torch pipeline re-decodes JPEGs in worker
 processes every epoch (reference libs/load.py:280-305).
@@ -120,3 +124,150 @@ class DeviceCacheLoader(BatchLoader):
             mask[:valid] = 1.0
             batch["valid"] = mask
             yield batch
+
+
+class ShardedDeviceCacheLoader(BatchLoader):
+    """Device cache sharded over a pure-DP mesh's 'data' axis.
+
+    Shard s (of d) owns the contiguous global samples
+    ``[s*n_local, min((s+1)*n_local, N))`` with ``n_local = ceil(N/d)``.
+    Every epoch each shard permutes ITS OWN rows (within-shard shuffle),
+    pads its sequence to a common per-shard batch length by repetition
+    (``valid`` masks the repeats), and batches are materialized with a
+    ``shard_map`` gather: device s takes rows from its local cache shard
+    only. Batch layout row-blocks [shard0 | shard1 | ...] matches the
+    'data'-axis batch sharding the parallel train step expects, so
+    ``parallel.mesh.shard_batch`` is a no-op on these arrays.
+    """
+
+    def __init__(self, index, mesh, **kwargs):
+        super().__init__(index, **kwargs)
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if set(axis_sizes) != {"data"}:
+            raise NotImplementedError(
+                f"ShardedDeviceCacheLoader needs a pure-DP ('data',) mesh,"
+                f" got axes {axis_sizes}")
+        self.mesh = mesh
+        self.d = axis_sizes["data"]
+        if self.batch_size % self.d != 0:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by the "
+                f"'data' axis size {self.d}")
+        n = len(self.index)
+        self.n_local = -(-n // self.d)  # ceil
+        self._cache = None
+        self._take = None
+
+    def __len__(self) -> int:
+        return -(-self.n_local // (self.batch_size // self.d))
+
+    def _build_cache(self) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        n = len(self.index)
+        n_pad = self.n_local * self.d
+        cs = self.canvas_size
+        sharded = NamedSharding(self.mesh, P("data"))
+
+        def _z(shape, dtype):
+            return jax.device_put(jnp.zeros(shape, dtype), sharded)
+
+        cache = {
+            "canvas": _z((n_pad, cs, cs, 3), jnp.uint8),
+            "orig_to_canvas": _z((n_pad, 2, 3), jnp.float32),
+            "sizes_hw": _z((n_pad, 2), jnp.float32),
+            "joints": _z((n_pad, self.num_joints, 2), jnp.float32),
+            "joints_vis": _z((n_pad, self.num_joints), jnp.float32),
+            "label": _z((n_pad,), jnp.int32),
+        }
+
+        # Block writes cross shard boundaries; GSPMD compiles the
+        # masked per-shard updates (one-time build cost).
+        @partial(jax.jit, donate_argnums=0)
+        def write(cache, block, start):
+            return {
+                k: jax.lax.dynamic_update_slice_in_dim(
+                    cache[k], block[k], start, axis=0)
+                for k in cache
+            }
+
+        shuffle_was, epoch_was, drop_was = (
+            self.shuffle, self._epoch, self.drop_last)
+        self.shuffle = False
+        self.drop_last = False
+        try:
+            start = 0
+            with self.mesh:
+                for batch in BatchLoader.__iter__(self):
+                    valid = min(self.batch_size, n - start)
+                    block = {k: jnp.asarray(batch[k][:valid])
+                             for k in _CACHED_KEYS}
+                    cache = write(cache, block, start)
+                    start += valid
+            assert start == n, f"cache fill covered {start}/{n}"
+        finally:
+            self.shuffle, self._epoch, self.drop_last = (
+                shuffle_was, epoch_was, drop_was)
+
+        def local_take(cache, idx):
+            return {k: jnp.take(v, idx, axis=0) for k, v in cache.items()}
+
+        self._cache = cache
+        self._take = jax.jit(shard_map(
+            local_take, mesh=self.mesh,
+            in_specs=(P("data"), P("data")), out_specs=P("data")))
+        self._idx_sharding = sharded
+
+    def _epoch_plan(self):
+        """Per-batch (local_idx_layout, valid) arrays for one epoch.
+
+        local_idx_layout is (B,) int32 in [0, n_local) arranged in
+        per-shard blocks of B/d rows; valid is the matching 0/1 mask.
+        Advances the epoch counter exactly like BatchLoader._batch_ids.
+        """
+        n = len(self.index)
+        bl = self.batch_size // self.d
+        nb = len(self)
+        per_shard_idx, per_shard_valid = [], []
+        for s in range(self.d):
+            lo = s * self.n_local
+            n_real = max(0, min(self.n_local, n - lo))
+            order = np.arange(n_real)
+            if self.shuffle:
+                rng = np.random.RandomState(
+                    self.seed + self._epoch * 10007 + s)
+                rng.shuffle(order)
+            valid = np.ones(n_real, np.float32)
+            padded = np.resize(order, nb * bl) if n_real else np.zeros(
+                nb * bl, np.int64)
+            vpad = np.zeros(nb * bl, np.float32)
+            vpad[:n_real] = valid
+            per_shard_idx.append(padded.reshape(nb, bl))
+            per_shard_valid.append(vpad.reshape(nb, bl))
+        self._epoch += 1
+        for b in range(nb):
+            idx = np.concatenate([p[b] for p in per_shard_idx]).astype(
+                np.int32)
+            valid = np.concatenate([v[b] for v in per_shard_valid])
+            yield idx, valid
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self._cache is None:
+            self._build_cache()
+        import jax
+        import jax.numpy as jnp
+
+        with self.mesh:
+            for idx, valid in self._epoch_plan():
+                idx_dev = jax.device_put(
+                    jnp.asarray(idx), self._idx_sharding)
+                batch = dict(self._take(self._cache, idx_dev))
+                batch["valid"] = valid
+                yield batch

@@ -63,3 +63,76 @@ def test_cache_built_once(split_dir):
     cache_ref = cached._cache
     _epoch(cached)
     assert cached._cache is cache_ref  # second epoch reused, not rebuilt
+
+
+class TestSharded:
+    """ShardedDeviceCacheLoader on the virtual 8-device CPU mesh."""
+
+    @pytest.fixture(scope="class")
+    def loader(self, split_dir):
+        from hgr_tpu.parallel.mesh import make_mesh
+
+        idx = read_annotations(split_dir, DEFAULT_NAMES)  # N=10
+        mesh = make_mesh({"data": 4})
+        # B=8 -> 2 rows/device; n_local=3 (shard 3 holds 1 real + pad)
+        return idx, make_mesh({"data": 4}), (
+            __import__("hgr_tpu.data.device_cache", fromlist=["x"])
+            .ShardedDeviceCacheLoader(
+                idx, mesh, batch_size=8, canvas_size=96, shuffle=True,
+                seed=5, drop_last=False, num_workers=1))
+
+    def test_every_sample_once_per_epoch(self, loader):
+        idx, mesh, ldr = loader
+        n, d, n_local = len(idx), ldr.d, ldr.n_local
+        for _epoch in range(2):
+            seen = []
+            for b, batch in enumerate(ldr):
+                bl = ldr.batch_size // d
+                lab = np.asarray(batch["label"])
+                valid = np.asarray(batch["valid"])
+                for s in range(d):
+                    for r in range(bl):
+                        if valid[s * bl + r]:
+                            seen.append((s, int(lab[s * bl + r])))
+                assert lab.shape == (8,)
+            # every real sample exactly once: count valid rows
+            assert len(seen) == n
+
+    def test_batch_is_data_sharded_and_content_correct(self, loader):
+        from jax.sharding import PartitionSpec as P
+
+        idx, mesh, ldr = loader
+        labels = idx.labels()
+        batch = next(iter(ldr))
+        # correct sharding layout for the parallel train step
+        spec = batch["canvas"].sharding.spec
+        assert spec == P("data")
+        # labels must match the global ids implied by the shard layout:
+        # recompute the plan with the same seed/epoch the batch used
+        ldr2 = type(ldr)(idx, ldr.mesh, batch_size=8, canvas_size=96,
+                         shuffle=True, seed=5, drop_last=False,
+                         num_workers=1)
+        ldr2._epoch = ldr._epoch - 1  # the epoch the batch came from
+        plan = next(ldr2._epoch_plan())
+        loc, valid = plan
+        bl = ldr.batch_size // ldr.d
+        lab = np.asarray(batch["label"])
+        for s in range(ldr.d):
+            for r in range(bl):
+                gid = s * ldr.n_local + int(loc[s * bl + r])
+                if valid[s * bl + r] and gid < len(idx):
+                    assert lab[s * bl + r] == labels[gid]
+
+    def test_rejects_non_dp_mesh_and_bad_batch(self, split_dir):
+        from hgr_tpu.data.device_cache import ShardedDeviceCacheLoader
+        from hgr_tpu.parallel.mesh import make_mesh
+
+        idx = read_annotations(split_dir, DEFAULT_NAMES)
+        with pytest.raises(NotImplementedError):
+            ShardedDeviceCacheLoader(
+                idx, make_mesh({"data": 2, "model": 2}), batch_size=8,
+                canvas_size=96, num_workers=1)
+        with pytest.raises(ValueError):
+            ShardedDeviceCacheLoader(
+                idx, make_mesh({"data": 4}), batch_size=6,
+                canvas_size=96, num_workers=1)
