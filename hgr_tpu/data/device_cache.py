@@ -179,10 +179,19 @@ class ShardedDeviceCacheLoader(BatchLoader):
         def _z(shape, dtype):
             return jax.device_put(jnp.zeros(shape, dtype), sharded)
 
+        # Rows past N exist only on shards with no real samples (N < d*
+        # n_local). They are always masked valid=0, but their bytes DO
+        # flow through the augment math before masking — a zero affine
+        # is singular and a zero size divides by zero, and NaN*0 = NaN
+        # would poison the masked loss. Seed them with benign values:
+        # identity affine, canvas-sized dims.
+        ident = jnp.tile(jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]],
+                                     jnp.float32), (n_pad, 1, 1))
         cache = {
             "canvas": _z((n_pad, cs, cs, 3), jnp.uint8),
-            "orig_to_canvas": _z((n_pad, 2, 3), jnp.float32),
-            "sizes_hw": _z((n_pad, 2), jnp.float32),
+            "orig_to_canvas": jax.device_put(ident, sharded),
+            "sizes_hw": jax.device_put(
+                jnp.full((n_pad, 2), float(cs), jnp.float32), sharded),
             "joints": _z((n_pad, self.num_joints, 2), jnp.float32),
             "joints_vis": _z((n_pad, self.num_joints), jnp.float32),
             "label": _z((n_pad,), jnp.int32),

@@ -136,3 +136,31 @@ class TestSharded:
             ShardedDeviceCacheLoader(
                 idx, make_mesh({"data": 4}), batch_size=6,
                 canvas_size=96, num_workers=1)
+
+    def test_empty_shard_pad_rows_are_benign(self, split_dir):
+        """Shards past N serve never-written pad rows (valid=0); their
+        affines/sizes must be non-singular so the augment math stays
+        finite before masking (regression: zero affine -> NaN*0 = NaN
+        poisoned the masked loss in dryrun_multichip)."""
+        from hgr_tpu.data.device_cache import ShardedDeviceCacheLoader
+        from hgr_tpu.parallel.mesh import make_mesh
+
+        idx = read_annotations(split_dir, DEFAULT_NAMES)  # N=10
+        ldr = ShardedDeviceCacheLoader(
+            idx, make_mesh({"data": 8}), batch_size=8, canvas_size=96,
+            shuffle=False, drop_last=False, num_workers=1)
+        # n_local=2: shards 5-7 own no real samples
+        ident = np.tile(np.array([[1.0, 0, 0], [0, 1.0, 0]],
+                                 np.float32), (1, 1, 1))
+        saw_empty = 0
+        for batch in ldr:
+            valid = np.asarray(batch["valid"])
+            aff = np.asarray(batch["orig_to_canvas"])
+            szs = np.asarray(batch["sizes_hw"])
+            for r in range(8):
+                if not valid[r] and r >= 5:  # empty-shard rows
+                    saw_empty += 1
+                    np.testing.assert_array_equal(aff[r], ident[0])
+                    np.testing.assert_array_equal(szs[r], [96.0, 96.0])
+            assert np.isfinite(aff).all() and (szs > 0).all()
+        assert saw_empty >= 3
