@@ -18,8 +18,14 @@ tail padding (sample repetition) and ``valid`` masks come from the same
 streaming run see exactly the same batch compositions
 (tests/test_device_cache.py asserts this).
 
-Sizing: a 100k-image split at canvas 192 is 11.1 GB of uint8 — it fits a
-single 16 GB v5e chip beside the 7.4M-param model. Larger-than-HBM sets
+Sizing: arrays are stored as FLAT ``(n, features)`` rows (see
+``_flat_shapes``) so they occupy their nominal byte size — in natural
+shapes, XLA's (sublane, lane) tiling pads the trailing dims (uint8
+(..., 160, 3) rounds 160 lanes up to 256; f32 (..., 21, 2) rounds to
+(24, 128)), which inflated a canvas-160 100k-image cache from 8.7 GB to
+19.2 GB and OOM'd a 16 GB chip. Flat, a 100k split at canvas 160 is
+7.9 GB and a canvas-192 one 11.1 GB — both fit a single 16 GB v5e chip
+beside the 7.4M-param model. Larger-than-HBM sets
 (full HaGRID at canvas 192 is ~45 GB) shard over a mesh's 'data' axis:
 ``ShardedDeviceCacheLoader`` gives each chip a contiguous N/d-sample
 shard and serves batches with WITHIN-SHARD shuffling through a
@@ -46,6 +52,28 @@ _CACHED_KEYS = ("canvas", "orig_to_canvas", "sizes_hw", "joints",
                 "joints_vis", "label")
 
 
+def _flat_shapes(n, cs, num_joints):
+    """Per-key (flat row length, unflattened trailing shape, dtype).
+
+    Cached arrays are stored as 2-D ``(n, features)`` rows, NOT in their
+    natural shapes: XLA tiles a TPU allocation's trailing two dims (uint8
+    (..., 160, 3) pads 160 lanes -> 256, f32 (..., 21, 2) pads to (24,
+    128)), which blew a 160-canvas 100k-image cache from 8.7 GB nominal
+    to 19.2 GB and OOM'd the chip. A flat row of 128-aligned length (or
+    any length on a tiny sidecar) stores at nominal size; the jitted
+    gather reshapes the batch back AFTER the take, where the padded form
+    is one batch, not the whole split.
+    """
+    return {
+        "canvas": (cs * cs * 3, (cs, cs, 3), np.uint8),
+        "orig_to_canvas": (6, (2, 3), np.float32),
+        "sizes_hw": (2, (2,), np.float32),
+        "joints": (num_joints * 2, (num_joints, 2), np.float32),
+        "joints_vis": (num_joints, (num_joints,), np.float32),
+        "label": (1, (), np.int32),
+    }
+
+
 class DeviceCacheLoader(BatchLoader):
     """Drop-in ``BatchLoader`` that builds a device-resident cache on the
     first iteration and gathers batches from it afterwards."""
@@ -65,14 +93,9 @@ class DeviceCacheLoader(BatchLoader):
         # variant is described in the module docstring.)
         n = len(self.index)
         cs = self.canvas_size
-        cache = {
-            "canvas": jnp.zeros((n, cs, cs, 3), jnp.uint8),
-            "orig_to_canvas": jnp.zeros((n, 2, 3), jnp.float32),
-            "sizes_hw": jnp.zeros((n, 2), jnp.float32),
-            "joints": jnp.zeros((n, self.num_joints, 2), jnp.float32),
-            "joints_vis": jnp.zeros((n, self.num_joints), jnp.float32),
-            "label": jnp.zeros((n,), jnp.int32),
-        }
+        spec = _flat_shapes(n, cs, self.num_joints)
+        cache = {k: jnp.zeros((n, flat), jnp.dtype(dt))
+                 for k, (flat, _, dt) in spec.items()}
 
         # Donating the cache keeps peak memory at cache + one batch.
         @partial(jax.jit, donate_argnums=0)
@@ -94,7 +117,9 @@ class DeviceCacheLoader(BatchLoader):
             start = 0
             for batch in BatchLoader.__iter__(self):
                 valid = min(self.batch_size, n - start)
-                block = {k: jnp.asarray(batch[k][:valid])
+                block = {k: jnp.asarray(
+                    np.ascontiguousarray(batch[k][:valid]).reshape(
+                        valid, spec[k][0]))
                          for k in _CACHED_KEYS}
                 cache = write(cache, block, start)
                 start += valid
@@ -105,7 +130,9 @@ class DeviceCacheLoader(BatchLoader):
 
         @jax.jit
         def take(cache, idx):
-            return {k: jnp.take(v, idx, axis=0) for k, v in cache.items()}
+            b = idx.shape[0]
+            return {k: jnp.take(v, idx, axis=0).reshape((b,) + spec[k][1])
+                    for k, v in cache.items()}
 
         self._cache = cache
         self._take = take
@@ -175,26 +202,30 @@ class ShardedDeviceCacheLoader(BatchLoader):
         n_pad = self.n_local * self.d
         cs = self.canvas_size
         sharded = NamedSharding(self.mesh, P("data"))
+        spec = _flat_shapes(n_pad, cs, self.num_joints)
 
-        def _z(shape, dtype):
-            return jax.device_put(jnp.zeros(shape, dtype), sharded)
+        def _z(key):
+            flat, _, dt = spec[key]
+            return jax.device_put(jnp.zeros((n_pad, flat), jnp.dtype(dt)),
+                                  sharded)
 
         # Rows past N exist only on shards with no real samples (N < d*
         # n_local). They are always masked valid=0, but their bytes DO
         # flow through the augment math before masking — a zero affine
         # is singular and a zero size divides by zero, and NaN*0 = NaN
         # would poison the masked loss. Seed them with benign values:
-        # identity affine, canvas-sized dims.
-        ident = jnp.tile(jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]],
-                                     jnp.float32), (n_pad, 1, 1))
+        # identity affine, canvas-sized dims. (Rows are stored FLAT —
+        # see _flat_shapes — so the identity affine is its 6-vector.)
+        ident = jnp.tile(jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]],
+                                     jnp.float32), (n_pad, 1))
         cache = {
-            "canvas": _z((n_pad, cs, cs, 3), jnp.uint8),
+            "canvas": _z("canvas"),
             "orig_to_canvas": jax.device_put(ident, sharded),
             "sizes_hw": jax.device_put(
                 jnp.full((n_pad, 2), float(cs), jnp.float32), sharded),
-            "joints": _z((n_pad, self.num_joints, 2), jnp.float32),
-            "joints_vis": _z((n_pad, self.num_joints), jnp.float32),
-            "label": _z((n_pad,), jnp.int32),
+            "joints": _z("joints"),
+            "joints_vis": _z("joints_vis"),
+            "label": _z("label"),
         }
 
         # Block writes cross shard boundaries; GSPMD compiles the
@@ -216,7 +247,9 @@ class ShardedDeviceCacheLoader(BatchLoader):
             with self.mesh:
                 for batch in BatchLoader.__iter__(self):
                     valid = min(self.batch_size, n - start)
-                    block = {k: jnp.asarray(batch[k][:valid])
+                    block = {k: jnp.asarray(
+                        np.ascontiguousarray(batch[k][:valid]).reshape(
+                            valid, spec[k][0]))
                              for k in _CACHED_KEYS}
                     cache = write(cache, block, start)
                     start += valid
@@ -226,7 +259,9 @@ class ShardedDeviceCacheLoader(BatchLoader):
                 shuffle_was, epoch_was, drop_was)
 
         def local_take(cache, idx):
-            return {k: jnp.take(v, idx, axis=0) for k, v in cache.items()}
+            b = idx.shape[0]
+            return {k: jnp.take(v, idx, axis=0).reshape((b,) + spec[k][1])
+                    for k, v in cache.items()}
 
         self._cache = cache
         self._take = jax.jit(shard_map(
