@@ -99,6 +99,11 @@ class ModelConfig:
     # Fused Pallas attention; set False under tensor-parallel meshes
     # where the qkv feature dim is 'model'-sharded (vit.Attention.fused).
     fused_attention: bool = True
+    # Rematerialize the backbone's high-res prefix in the backward pass
+    # (models/gelan.py GELANNet.remat_hires): ~6 GB less live HBM at
+    # B=1024 for ~15% extra backbone forward FLOPs. Enable when a big
+    # batch must share the chip with an HBM dataset cache.
+    remat_backbone: bool = False
 
     @property
     def feature_size(self) -> Tuple[int, int]:

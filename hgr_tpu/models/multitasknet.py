@@ -42,6 +42,9 @@ class MultiTaskNet(nn.Module):
     # False routes attention through the GSPMD-shardable XLA chain —
     # required under tensor-parallel meshes (see vit.Attention.fused).
     fused_attention: bool = True
+    # Backward-pass remat of the backbone's high-res prefix
+    # (gelan.GELANNet.remat_hires) — memory for FLOPs.
+    remat_backbone: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig) -> "MultiTaskNet":
@@ -58,6 +61,7 @@ class MultiTaskNet(nn.Module):
             mlp_dim=cfg.mlp_dim,
             dtype=dtype,
             fused_attention=cfg.fused_attention,
+            remat_backbone=cfg.remat_backbone,
         )
 
     @nn.compact
@@ -70,7 +74,9 @@ class MultiTaskNet(nn.Module):
         element is then None."""
         x = x.astype(self.dtype)
         feats = GELANNet(self.backbone, dtype=self.dtype,
-                         precision=self.precision, name="encoder")(x, train)
+                         precision=self.precision,
+                         remat_hires=self.remat_backbone,
+                         name="encoder")(x, train)
         from hgr_tpu.models.layers import torch_kernel_init
 
         feats = nn.Conv(self.dim, kernel_size=(1, 1), use_bias=False,

@@ -146,3 +146,30 @@ def test_bfloat16_forward(model_and_vars):
     assert cls_out.dtype == jnp.float32
     assert np.isfinite(np.asarray(cls_out, np.float32)).all()
     assert np.isfinite(np.asarray(hmap, np.float32)).all()
+
+
+def test_remat_backbone_exact():
+    """remat_backbone is a pure memory/FLOPs trade: the param tree and
+    the gradients are bit-identical to the non-remat model (the hi-res
+    prefix is recomputed, not re-derived — models/gelan.py remat_hires)."""
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 3),
+                    jnp.float32)
+    plain = MultiTaskNet(image_size=(64, 64), precision=HI)
+    remat = MultiTaskNet(image_size=(64, 64), precision=HI,
+                         remat_backbone=True)
+    v0 = plain.init(jax.random.PRNGKey(0), x, train=False)
+    v1 = remat.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v0)
+            == jax.tree_util.tree_structure(v1))
+
+    def loss(model, variables, params):
+        (cls_out, hmap, _), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, need_attnmap=False, mutable=["batch_stats"])
+        return jnp.sum(cls_out ** 2) + jnp.sum(hmap ** 2)
+
+    g0 = jax.grad(lambda p: loss(plain, v0, p))(v0["params"])
+    g1 = jax.grad(lambda p: loss(remat, v1, p))(v1["params"])
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0

@@ -31,7 +31,7 @@ python cli/train.py \
   --suffix rehearsal100k \
   --batch_size 1024 --epochs 40 \
   --lr 0.001 --lr_step 30 40 --lr_factor 0.1 \
-  --canvas_size 160 --device_cache \
+  --canvas_size 160 --device_cache --remat \
   --num_workers 4 \
   --log_dir "$OUT/logs" --save_dir "$OUT/output"
 
