@@ -66,12 +66,19 @@ def parse_args():
                              'on link-bound hosts (single-device only; '
                              'hgr_tpu/data/device_cache.py)')
     parser.add_argument('--remat', action='store_true',
-                        help='rematerialize the backbone high-res prefix '
-                             'in the backward pass — frees ~6 GB of live '
-                             'HBM at B=1024 for ~15%% extra backbone '
-                             'forward FLOPs; pair with --device_cache '
-                             'when the cached split + big batch must '
-                             'share one chip')
+                        help='rematerialize the backbone body and pose '
+                             'head in the backward pass — frees ~8 GB of '
+                             'live HBM at B=1024 for one extra backbone '
+                             'forward (~15%% of step FLOPs); pair with '
+                             '--device_cache when the cached split + big '
+                             'batch must share one chip')
+    parser.add_argument('--grad_accum', type=int, default=1,
+                        help='sequential microbatches per optimizer step '
+                             '(one exactly-combined update; peak '
+                             'activation HBM drops to one microbatch) — '
+                             'pairs with --device_cache/--remat for '
+                             'bs-1024 recipes beside an HBM-resident '
+                             'dataset cache (single-device path)')
     parser.add_argument('--debug_images', action='store_true',
                         help='dump GT/pred/heatmap grids every 100 train '
                              'batches and one val batch (with attention) '
@@ -131,7 +138,7 @@ def main():
         backbone='large' if args.backbone == 'gelanl' else 'small',
         compute_dtype=args.dtype,
         fused_attention=not tp_requested,
-        remat_backbone=args.remat,
+        remat=args.remat,
     )
     train_cfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
@@ -140,7 +147,13 @@ def main():
         class_loss_weight=args.class_loss_weight,
         num_workers=args.num_workers, log_dir=args.log_dir,
         save_dir=args.save_dir, canvas_size=args.canvas_size,
+        grad_accum=args.grad_accum,
     )
+    if args.grad_accum > 1 and args.mesh:
+        raise SystemExit("--grad_accum is the single-device path; under "
+                         "--mesh, shard the batch over 'data' instead "
+                         "(the same memory relief without serializing "
+                         "microbatches)")
 
     from hgr_tpu.data.pipeline import staging_window_fraction
 

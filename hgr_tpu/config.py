@@ -99,11 +99,12 @@ class ModelConfig:
     # Fused Pallas attention; set False under tensor-parallel meshes
     # where the qkv feature dim is 'model'-sharded (vit.Attention.fused).
     fused_attention: bool = True
-    # Rematerialize the backbone's high-res prefix in the backward pass
-    # (models/gelan.py GELANNet.remat_hires): ~6 GB less live HBM at
-    # B=1024 for ~15% extra backbone forward FLOPs. Enable when a big
-    # batch must share the chip with an HBM dataset cache.
-    remat_backbone: bool = False
+    # Rematerialize the backbone body and the pose head in the backward
+    # pass (models/gelan.py GELANNet.remat, models/vit.py
+    # ViT.remat_pose_head): ~8 GB less live HBM at B=1024 for one extra
+    # backbone forward (~15% of step FLOPs). Enable when a big batch
+    # must share the chip with an HBM dataset cache.
+    remat: bool = False
 
     @property
     def feature_size(self) -> Tuple[int, int]:
@@ -134,6 +135,9 @@ class TrainConfig:
     steps_per_epoch: Optional[int] = None
     canvas_size: int = 256  # host->device image staging canvas (square)
     debug_every: int = 100  # debug image dump cadence (reference train.py:149)
+    # Sequential microbatches per optimizer step (train/steps.py): one
+    # exactly-combined update, single-microbatch peak activation memory.
+    grad_accum: int = 1
 
 
 # ImageNet normalization constants applied to (BGR-ordered!) images —

@@ -81,34 +81,35 @@ class GELANNet(nn.Module):
     variant: str = "small"
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    # Rematerialize the high-resolution prefix (stem convs + first ELAN
-    # block, everything at >= H/4 resolution) in the backward pass. Its
-    # internal activations dominate the train step's HBM footprint
-    # (~6 GB at B=1024/192px in bf16) while holding ~15% of the FLOPs —
-    # the canonical jax.checkpoint trade that lets a big batch share the
-    # chip with an HBM-resident dataset cache (data/device_cache.py).
-    # Param tree and numerics are unchanged (function-level nn.remat,
-    # children keep their names; tests/test_model.py pins grad equality).
-    remat_hires: bool = False
+    # Rematerialize the whole backbone body in the backward pass: only
+    # the input image and the output features stay live across the
+    # forward; every internal activation (the stem + ELAN internals
+    # dominate the train step's HBM footprint, ~7 GB at B=1024/192px in
+    # bf16) is recomputed during the backward for one extra backbone
+    # forward (~15% of total step FLOPs). The canonical jax.checkpoint
+    # trade that lets a big batch share the chip with an HBM-resident
+    # dataset cache (data/device_cache.py). Param tree and numerics are
+    # unchanged (function-level nn.remat, children keep their names;
+    # tests/test_model.py pins grad equality).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         block, layers = GELAN_SPEC[self.variant]
         kw = dict(dtype=self.dtype, precision=self.precision)
 
-        def _hires(mdl, x, train):
+        def _body(mdl, x, train):
             x = ConvBnAct(64, 3, 2, name="conv1", **kw)(x, train)
             x = ConvBnAct(128, 3, 2, name="conv2", **kw)(x, train)
-            return GELANBlock(128, 128, 64, block, layers[0],
-                              name="cspelan1", **kw)(x, train)
+            x = GELANBlock(128, 128, 64, block, layers[0], name="cspelan1",
+                           **kw)(x, train)
+            x = ConvBnAct(256, 3, 2, name="down1", **kw)(x, train)
+            x = GELANBlock(256, 256, 128, block, layers[1], name="cspelan2",
+                           **kw)(x, train)
+            x = ConvBnAct(512, 3, 2, name="down2", **kw)(x, train)
+            return GELANBlock(512, 512, 256, block, layers[2],
+                              name="cspelan3", **kw)(x, train)
 
-        if self.remat_hires:
-            _hires = nn.remat(_hires, static_argnums=(2,))
-        x = _hires(self, x, train)
-        x = ConvBnAct(256, 3, 2, name="down1", **kw)(x, train)
-        x = GELANBlock(256, 256, 128, block, layers[1], name="cspelan2",
-                       **kw)(x, train)
-        x = ConvBnAct(512, 3, 2, name="down2", **kw)(x, train)
-        x = GELANBlock(512, 512, 256, block, layers[2], name="cspelan3",
-                       **kw)(x, train)
-        return x
+        if self.remat:
+            _body = nn.remat(_body, static_argnums=(2,))
+        return _body(self, x, train)

@@ -42,9 +42,9 @@ class MultiTaskNet(nn.Module):
     # False routes attention through the GSPMD-shardable XLA chain —
     # required under tensor-parallel meshes (see vit.Attention.fused).
     fused_attention: bool = True
-    # Backward-pass remat of the backbone's high-res prefix
-    # (gelan.GELANNet.remat_hires) — memory for FLOPs.
-    remat_backbone: bool = False
+    # Backward-pass remat of the backbone body and the pose head
+    # (gelan.GELANNet.remat, vit.ViT.remat_pose_head) — memory for FLOPs.
+    remat: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig) -> "MultiTaskNet":
@@ -61,7 +61,7 @@ class MultiTaskNet(nn.Module):
             mlp_dim=cfg.mlp_dim,
             dtype=dtype,
             fused_attention=cfg.fused_attention,
-            remat_backbone=cfg.remat_backbone,
+            remat=cfg.remat,
         )
 
     @nn.compact
@@ -75,7 +75,7 @@ class MultiTaskNet(nn.Module):
         x = x.astype(self.dtype)
         feats = GELANNet(self.backbone, dtype=self.dtype,
                          precision=self.precision,
-                         remat_hires=self.remat_backbone,
+                         remat=self.remat,
                          name="encoder")(x, train)
         from hgr_tpu.models.layers import torch_kernel_init
 
@@ -96,6 +96,7 @@ class MultiTaskNet(nn.Module):
             dtype=self.dtype,
             precision=self.precision,
             fused=self.fused_attention,
+            remat_pose_head=self.remat,
             name="decoder")(feats, need_attnmap=need_attnmap)
         return cls_out, hmap_out, attnmap
 

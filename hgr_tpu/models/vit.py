@@ -179,6 +179,11 @@ class ViT(nn.Module):
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
     fused: bool = True  # see Attention.fused
+    # Rematerialize the pose head (x4 upsample -> ReLU -> 1x1 conv) in
+    # the backward: its (B, 4h, 4w, dim) intermediates are the largest
+    # decoder tensors (~1-2 GB at B=1024) and recompute from the
+    # (B, h, w, dim) tokens costs two small matmuls + a 1x1 conv.
+    remat_pose_head: bool = False
 
     @nn.compact
     def __call__(self, x: Array,
@@ -213,7 +218,6 @@ class ViT(nn.Module):
             precision=self.precision, kernel_init=torch_kernel_init(),
             bias_init=torch_bias_init(self.dim), name="mlp_head_fc")(cls_out)
 
-        hmap = hmap_feat.reshape(b, h, w, self.dim)
         # align_corners=True x4 bilinear as two MXU matmuls (ops/resize.py),
         # then ReLU -> 1x1 conv (reference transformer.py:146-150).
         # The upsample rides the module's compute dtype/precision — in bf16
@@ -221,16 +225,23 @@ class ViT(nn.Module):
         up_precision = (self.precision if self.precision is not None
                         else (jax.lax.Precision.HIGHEST
                               if self.dtype == jnp.float32 else None))
-        hmap = upsample_bilinear_align_corners(
-            hmap, 4, precision=up_precision,
-            compute_dtype=jnp.float32 if self.dtype == jnp.float32
-            else self.dtype)
-        hmap = nn.relu(hmap)
-        hmap_out = nn.Conv(
-            self.num_joints, kernel_size=(1, 1), use_bias=True,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            precision=self.precision, kernel_init=torch_kernel_init(),
-            bias_init=torch_bias_init(self.dim),
-            name="simple_decoder_conv")(hmap)
+
+        def _pose_head(mdl, hmap_feat):
+            hmap = hmap_feat.reshape(b, h, w, mdl.dim)
+            hmap = upsample_bilinear_align_corners(
+                hmap, 4, precision=up_precision,
+                compute_dtype=jnp.float32 if mdl.dtype == jnp.float32
+                else mdl.dtype)
+            hmap = nn.relu(hmap)
+            return nn.Conv(
+                mdl.num_joints, kernel_size=(1, 1), use_bias=True,
+                dtype=mdl.dtype, param_dtype=jnp.float32,
+                precision=mdl.precision, kernel_init=torch_kernel_init(),
+                bias_init=torch_bias_init(mdl.dim),
+                name="simple_decoder_conv")(hmap)
+
+        if self.remat_pose_head:
+            _pose_head = nn.remat(_pose_head)
+        hmap_out = _pose_head(self, hmap_feat)
 
         return cls_out, hmap_out.astype(jnp.float32), attnmap

@@ -255,7 +255,8 @@ def fit(
                     return p(st, shard_batch(batch, mesh))
     else:
         train_step = make_train_step(
-            aug, class_loss_weight=train_cfg.class_loss_weight, **step_kw)
+            aug, class_loss_weight=train_cfg.class_loss_weight,
+            grad_accum=train_cfg.grad_accum, **step_kw)
         eval_step = make_eval_step(**step_kw)
         if debug_images:
             s_dbg_train = make_eval_step(return_outputs=True,

@@ -104,32 +104,102 @@ def make_train_step(
     heatmap_size=(48, 48),
     donate: bool = True,
     class_loss_weight: float = 0.001,  # reference train.py:63
+    grad_accum: int = 1,
+    debug_return_grads: bool = False,  # tests: expose pre-update grads
 ) -> Callable:
     """Build the jitted train step.
 
     step(state, batch, key) -> (state, metrics) where batch is the raw
     staged host batch {canvas, orig_to_canvas, sizes_hw, joints,
     joints_vis, label}.
+
+    ``grad_accum > 1`` runs the batch as that many sequential
+    microbatches under ``lax.scan`` and applies ONE optimizer update
+    from the exactly-combined gradients (masked-mean grads recombine as
+    a valid-count-weighted average). Peak activation memory drops to a
+    single microbatch's, so bs-1024 recipes fit beside an HBM dataset
+    cache (data/device_cache.py) — the standard large-batch trade.
+    Metrics combine exactly (F1 from the summed confusion; PCK as the
+    (acc * cnt, cnt) accumulation the epoch loop already uses, matching
+    the reference's batch accumulators, train.py:89-90). BN batch
+    statistics are per-microbatch (momentum applied per microbatch,
+    like the reference's bs-32 steps at the same total throughput).
     """
 
     def train_step(state: TrainState, batch: Dict[str, Array], key: Array):
-        mask = batch.get("valid")
-        data = _preprocess(batch, key, aug_cfg, sigma, image_size,
-                           heatmap_size)
+        def _one_micro(params, stats, mbatch, mkey):
+            mask = mbatch.get("valid")
+            data = _preprocess(mbatch, mkey, aug_cfg, sigma, image_size,
+                               heatmap_size)
 
-        def loss_fn(params):
-            return _forward_and_metrics(
-                state.apply_fn, params, state.batch_stats, data,
-                num_classes, train=True,
-                class_loss_weight=class_loss_weight, sample_mask=mask)
+            def loss_fn(p):
+                return _forward_and_metrics(
+                    state.apply_fn, p, stats, data, num_classes,
+                    train=True, class_loss_weight=class_loss_weight,
+                    sample_mask=mask)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (total, (parts, cls_out, hmap, attn, new_stats)), grads = grad_fn(
-            state.params)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (total, (parts, cls_out, hmap, attn, new_stats)), grads = (
+                grad_fn(params))
+            metrics, _ = _step_metrics(data, parts, cls_out, hmap,
+                                       num_classes, mask)
+            return grads, new_stats, metrics
+
+        if grad_accum == 1:
+            grads, new_stats, metrics = _one_micro(
+                state.params, state.batch_stats, batch, key)
+            if debug_return_grads:
+                metrics["_grads"] = grads
+            return state.apply_gradients(grads, new_stats), metrics
+
+        from hgr_tpu.ops.metrics import macro_f1_from_confusion
+
+        a = grad_accum
+        b = next(iter(batch.values())).shape[0]
+        assert b % a == 0, f"batch {b} not divisible by grad_accum {a}"
+        micro = {k: v.reshape((a, b // a) + v.shape[1:])
+                 for k, v in batch.items()}
+        keys = jax.random.split(key, a)
+
+        def body(carry, xs):
+            stats, gsum, vsum, psum, conf, pnum, pcnt = carry
+            mbatch, k = xs
+            grads, new_stats, m = _one_micro(state.params, stats, mbatch, k)
+            v = m["valid_cnt"]
+            gsum = jax.tree_util.tree_map(
+                lambda g_, s_: s_ + g_.astype(jnp.float32) * v, grads, gsum)
+            psum = {name: psum[name] + m[name] * v
+                    for name in ("total_loss", "class_loss", "joints_loss")}
+            return (new_stats, gsum, vsum + v, psum,
+                    conf + m["conf_update"],
+                    pnum + m["pose_acc"] * m["pose_cnt"],
+                    pcnt + m["pose_cnt"]), None
+
+        zeros_like_f32 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        init = (state.batch_stats, zeros_like_f32, jnp.float32(0.0),
+                {"total_loss": jnp.float32(0.0),
+                 "class_loss": jnp.float32(0.0),
+                 "joints_loss": jnp.float32(0.0)},
+                jnp.zeros((num_classes, num_classes)),
+                jnp.float32(0.0), jnp.float32(0.0))
+        (new_stats, gsum, vsum, psum, conf, pnum, pcnt), _ = jax.lax.scan(
+            body, init, (micro, keys))
+
+        denom = jnp.maximum(vsum, 1.0)
+        grads = jax.tree_util.tree_map(lambda s_: s_ / denom, gsum)
         new_state = state.apply_gradients(grads, new_stats)
-
-        metrics, _ = _step_metrics(data, parts, cls_out, hmap, num_classes,
-                                   mask)
+        metrics = {
+            **{name: psum[name] / denom
+               for name in ("total_loss", "class_loss", "joints_loss")},
+            "cls_f1score": macro_f1_from_confusion(conf),
+            "pose_acc": pnum / jnp.maximum(pcnt, 1.0),
+            "pose_cnt": pcnt,
+            "valid_cnt": vsum,
+            "conf_update": conf,
+        }
+        if debug_return_grads:
+            metrics["_grads"] = grads
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

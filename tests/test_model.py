@@ -148,15 +148,15 @@ def test_bfloat16_forward(model_and_vars):
     assert np.isfinite(np.asarray(hmap, np.float32)).all()
 
 
-def test_remat_backbone_exact():
-    """remat_backbone is a pure memory/FLOPs trade: the param tree and
+def test_remat_exact():
+    """remat is a pure memory/FLOPs trade: the param tree and
     the gradients are bit-identical to the non-remat model (the hi-res
     prefix is recomputed, not re-derived — models/gelan.py remat_hires)."""
     x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 3),
                     jnp.float32)
     plain = MultiTaskNet(image_size=(64, 64), precision=HI)
     remat = MultiTaskNet(image_size=(64, 64), precision=HI,
-                         remat_backbone=True)
+                         remat=True)
     v0 = plain.init(jax.random.PRNGKey(0), x, train=False)
     v1 = remat.init(jax.random.PRNGKey(0), x, train=False)
     assert (jax.tree_util.tree_structure(v0)

@@ -227,3 +227,66 @@ def test_loader_abandoned_iterator_reclaims_producer(synth_dir):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_grad_accum_exact_combination():
+    """grad_accum=2 with two IDENTICAL microbatches and zeroed augment
+    randomness reproduces the grad_accum=1 update exactly: duplicated
+    samples make the full-batch BN statistics equal the per-microbatch
+    ones, and the valid-count-weighted gradient recombination
+    (train/steps.py make_train_step) is the full masked mean."""
+    img = 64
+    b = 8  # rows 0-3 == rows 4-7
+    aug = AugmentConfig(rotate_factor=0.0, scale_factor=0.0,
+                        translate_factor=0.0, horizontal_flip=False,
+                        color_jittering=False)
+    model = MultiTaskNet(image_size=(img, img))
+    rng = np.random.RandomState(0)
+    half = {
+        "canvas": rng.randint(0, 255, (b // 2, img, img, 3)).astype(np.uint8),
+        "orig_to_canvas": np.tile(
+            np.asarray([[1.0, 0, 0], [0, 1.0, 0]], np.float32),
+            (b // 2, 1, 1)),
+        "sizes_hw": np.full((b // 2, 2), float(img), np.float32),
+        "joints": (rng.rand(b // 2, 21, 2) * img).astype(np.float32),
+        "joints_vis": np.ones((b // 2, 21), np.float32),
+        "label": rng.randint(0, 19, (b // 2,)).astype(np.int32),
+        "valid": np.ones((b // 2,), np.float32),
+    }
+    batch = {k: jnp.asarray(np.concatenate([v, v], axis=0))
+             for k, v in half.items()}
+
+    def run(accum):
+        state, _ = create_train_state(
+            model, jax.random.PRNGKey(0), (1, img, img, 3), lr=1e-3,
+            milestones_steps=(10**6,))
+        step = make_train_step(aug, image_size=(img, img),
+                               heatmap_size=(img // 4, img // 4),
+                               donate=False, grad_accum=accum,
+                               debug_return_grads=True)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        return new_state, metrics
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    for name in ("total_loss", "class_loss", "joints_loss", "cls_f1score",
+                 "pose_acc", "valid_cnt"):
+        np.testing.assert_allclose(np.asarray(m1[name], np.float32),
+                                   np.asarray(m2[name], np.float32),
+                                   rtol=2e-5, atol=2e-6, err_msg=name)
+    # pose_cnt keeps PER-MICROBATCH accumulator granularity (each
+    # microbatch contributes its own (acc, cnt) pair, the reference's
+    # per-batch accumulation, train.py:89-90) — with two identical
+    # microbatches that is exactly twice the single-batch count.
+    assert float(m2["pose_cnt"]) == 2 * float(m1["pose_cnt"])
+    np.testing.assert_allclose(np.asarray(m1["conf_update"]),
+                               np.asarray(m2["conf_update"]))
+    # Compare PRE-optimizer gradients: AdamW's first step normalizes to
+    # ~±lr·sign(g), so float noise in near-zero grads would flip the
+    # post-update params by 2·lr regardless of recombination correctness.
+    def rel_diff(a_, b_):
+        return float(jnp.max(jnp.abs(a_ - b_))
+                     / (jnp.max(jnp.abs(a_)) + 1e-12))
+
+    diffs = jax.tree_util.tree_map(rel_diff, m1["_grads"], m2["_grads"])
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4

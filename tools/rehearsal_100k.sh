@@ -11,7 +11,11 @@
 # train+val device cache at ~8.7 GB of the chip's 16 GB HBM: the
 # augment staging window is 0.748 * 192 = 144 px (pipeline.
 # staging_window_fraction), so a 160 canvas stores it without
-# downscaling, and the warp kernel device-pads per batch.
+# downscaling, and the warp kernel device-pads per batch. The cache
+# stores flat (n, cs*cs*3) rows (device_cache._flat_shapes) — natural
+# shapes pick up XLA tile padding (19.2 GB, OOM) — and --remat frees
+# the backbone's hi-res activations so the B=1024 backward fits beside
+# the cache.
 #
 # Results: BENCH_LOG.md "Full-recipe-scale rehearsal" (round 3).
 set -e
@@ -31,7 +35,7 @@ python cli/train.py \
   --suffix rehearsal100k \
   --batch_size 1024 --epochs 40 \
   --lr 0.001 --lr_step 30 40 --lr_factor 0.1 \
-  --canvas_size 160 --device_cache --remat \
+  --canvas_size 160 --device_cache --remat --grad_accum 2 \
   --num_workers 4 \
   --log_dir "$OUT/logs" --save_dir "$OUT/output"
 
