@@ -92,21 +92,26 @@ class GELANNet(nn.Module):
     # unchanged (function-level nn.remat, children keep their names;
     # tests/test_model.py pins grad equality).
     remat: bool = False
+    # Space-to-depth lowering for the four stride-2 convs (see
+    # layers._S2DConv3x3s2): identical math + param tree, dense TPU
+    # gradients instead of input-dilated conv transposes.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         block, layers = GELAN_SPEC[self.variant]
         kw = dict(dtype=self.dtype, precision=self.precision)
+        skw = dict(s2d=self.s2d, **kw)
 
         def _body(mdl, x, train):
-            x = ConvBnAct(64, 3, 2, name="conv1", **kw)(x, train)
-            x = ConvBnAct(128, 3, 2, name="conv2", **kw)(x, train)
+            x = ConvBnAct(64, 3, 2, name="conv1", **skw)(x, train)
+            x = ConvBnAct(128, 3, 2, name="conv2", **skw)(x, train)
             x = GELANBlock(128, 128, 64, block, layers[0], name="cspelan1",
                            **kw)(x, train)
-            x = ConvBnAct(256, 3, 2, name="down1", **kw)(x, train)
+            x = ConvBnAct(256, 3, 2, name="down1", **skw)(x, train)
             x = GELANBlock(256, 256, 128, block, layers[1], name="cspelan2",
                            **kw)(x, train)
-            x = ConvBnAct(512, 3, 2, name="down2", **kw)(x, train)
+            x = ConvBnAct(512, 3, 2, name="down2", **skw)(x, train)
             return GELANBlock(512, 512, 256, block, layers[2],
                               name="cspelan3", **kw)(x, train)
 

@@ -17,6 +17,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 Dtype = Any
@@ -52,9 +53,61 @@ def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
     return p
 
 
+class _S2DConv3x3s2(nn.Module):
+    """3x3 stride-2 conv computed as space-to-depth + 2x2 stride-1 conv.
+
+    Mathematically identical to the plain conv (same multiply-add set; the
+    3x3 weights scatter into a zero-padded (2, 2, 4*Cin, Cout) kernel:
+    W2[ka, kb, (p*2+q)*Cin + c, o] = W[2*ka+p-1, 2*kb+q-1, c, o], entries
+    with tap index outside [0, 2] stay zero). The param keeps the
+    reference (3, 3, Cin, Cout) shape and the ``conv/kernel`` tree path,
+    so checkpoints/weight ports are unaffected.
+
+    Why: XLA-TPU lowers a stride-2 conv's INPUT gradient as an
+    input-dilated conv — 75% zeros, ~4x wasted MXU work. After s2d every
+    conv in the network is stride-1 and every gradient is dense; the
+    measured backbone backward drops accordingly (BENCH_LOG round 3,
+    'Backbone backward attribution'). Standard TPU practice (MLPerf
+    ResNet space-to-depth stem).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        kernel = self.param("kernel", torch_kernel_init(),
+                            (3, 3, c, self.features), jnp.float32)
+        kc = kernel.astype(self.dtype)
+        # One gather builds the scattered kernel: tap index d = 2*k+r-1
+        # over (k, r) in {0,1}^2; out-of-range taps are masked to zero.
+        d = np.arange(2)[:, None] * 2 + np.arange(2)[None, :] - 1  # (k, r)
+        ok = (d >= 0) & (d <= 2)
+        dc = np.clip(d, 0, 2)
+        # (ka, pa, kb, qb, c, o) -> (ka, kb, pa, qb, c, o)
+        w2 = kc[dc][:, :, dc] * jnp.asarray(
+            ok[:, :, None, None] & ok[None, None], self.dtype
+        )[..., None, None]
+        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(
+            2, 2, 4 * c, self.features)
+        z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            z.astype(self.dtype), w2, (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision)
+
+
 class ConvBnAct(nn.Module):
     """conv(bias=False) + BatchNorm + activation
-    (reference model/gelan.py:18-56 ``Conv``; default act SiLU)."""
+    (reference model/gelan.py:18-56 ``Conv``; default act SiLU).
+
+    ``s2d=True`` routes an eligible 3x3/stride-2 conv through the
+    space-to-depth lowering (see _S2DConv3x3s2) — same math, dense
+    TPU gradients."""
 
     features: int
     kernel_size: int = 1
@@ -65,24 +118,30 @@ class ConvBnAct(nn.Module):
     use_act: bool = True
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         p = autopad(self.kernel_size, self.padding, self.dilation)
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=((p, p), (p, p)),
-            feature_group_count=self.groups,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            kernel_init=torch_kernel_init(),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            precision=self.precision,
-            name="conv",
-        )(x)
+        if (self.s2d and self.kernel_size == 3 and self.strides == 2
+                and self.groups == 1 and self.dilation == 1 and p == 1):
+            x = _S2DConv3x3s2(self.features, dtype=self.dtype,
+                              precision=self.precision, name="conv")(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding=((p, p), (p, p)),
+                feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                kernel_init=torch_kernel_init(),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                precision=self.precision,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch default 0.1 <=> flax momentum 0.9

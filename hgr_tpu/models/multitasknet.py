@@ -45,6 +45,9 @@ class MultiTaskNet(nn.Module):
     # Backward-pass remat of the backbone body and the pose head
     # (gelan.GELANNet.remat, vit.ViT.remat_pose_head) — memory for FLOPs.
     remat: bool = False
+    # Space-to-depth lowering of the backbone's stride-2 convs
+    # (layers._S2DConv3x3s2): same math/params, dense TPU gradients.
+    s2d: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig) -> "MultiTaskNet":
@@ -75,7 +78,7 @@ class MultiTaskNet(nn.Module):
         x = x.astype(self.dtype)
         feats = GELANNet(self.backbone, dtype=self.dtype,
                          precision=self.precision,
-                         remat=self.remat,
+                         remat=self.remat, s2d=self.s2d,
                          name="encoder")(x, train)
         from hgr_tpu.models.layers import torch_kernel_init
 

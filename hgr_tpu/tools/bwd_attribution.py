@@ -100,32 +100,38 @@ def main() -> None:
                           "unit": "ms", "batch": B, "device": dev}),
               flush=True)
 
-    def full_loss(p, train):
+    # Data rides as ARGUMENTS, not closure constants: baked-in 200+ MB
+    # constants exceed the remote compile server's request size limit
+    # (HTTP 413) and bloat every graph.
+    def full_loss(p, xb, yb, tb, twb, train):
         v = {"params": p, "batch_stats": stats}
         if train:
             (cls, hmap, _), _ = model.apply(
-                v, x, train=True, need_attnmap=False,
+                v, xb, train=True, need_attnmap=False,
                 mutable=["batch_stats"])
         else:
-            cls, hmap, _ = model.apply(v, x, train=False, need_attnmap=False)
-        total, _ = multitask_loss(cls, heatmaps_to_nchw(hmap), label,
-                                  target, tw)
+            cls, hmap, _ = model.apply(v, xb, train=False,
+                                       need_attnmap=False)
+        total, _ = multitask_loss(cls, heatmaps_to_nchw(hmap), yb, tb, twb)
         return total
 
     results = {}
 
     @jax.jit
-    def fwd_loss(p):
-        return full_loss(p, True)
+    def fwd_loss(p, xb, yb, tb, twb):
+        return full_loss(p, xb, yb, tb, twb, True)
 
-    results["fwd_loss"] = _timeit(fwd_loss, params, iters=args.iters) * 1e3
+    results["fwd_loss"] = _timeit(fwd_loss, params, x, label, target, tw,
+                                  iters=args.iters) * 1e3
     emit("fwd_loss", results["fwd_loss"])
 
     @jax.jit
-    def grad_full(p):
-        return jax.value_and_grad(lambda q: full_loss(q, True))(p)[0]
+    def grad_full(p, xb, yb, tb, twb):
+        return jax.value_and_grad(
+            lambda q: full_loss(q, xb, yb, tb, twb, True))(p)
 
-    results["grad_full"] = _timeit(grad_full, params, iters=args.iters) * 1e3
+    results["grad_full"] = _timeit(grad_full, params, x, label, target, tw,
+                                   iters=args.iters) * 1e3
     emit("grad_full", results["grad_full"])
 
     # --- backbone only ---
@@ -134,20 +140,21 @@ def main() -> None:
                     train=False)
     bparams, bstats = bvars["params"], bvars["batch_stats"]
 
-    def bb_loss(p):
-        out, _ = bb.apply({"params": p, "batch_stats": bstats}, x,
+    def bb_loss(p, xb):
+        out, _ = bb.apply({"params": p, "batch_stats": bstats}, xb,
                           train=True, mutable=["batch_stats"])
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    results["fwd_bb"] = _timeit(jax.jit(bb_loss), bparams,
+    results["fwd_bb"] = _timeit(jax.jit(bb_loss), bparams, x,
                                 iters=args.iters) * 1e3
     emit("fwd_bb", results["fwd_bb"])
 
     @jax.jit
-    def grad_bb(p):
-        return jax.value_and_grad(bb_loss)(p)[0]
+    def grad_bb(p, xb):
+        return jax.value_and_grad(bb_loss)(p, xb)
 
-    results["grad_bb"] = _timeit(grad_bb, bparams, iters=args.iters) * 1e3
+    results["grad_bb"] = _timeit(grad_bb, bparams, x,
+                                 iters=args.iters) * 1e3
     emit("grad_bb", results["grad_bb"])
 
     # --- head only: differentiate wrt non-encoder params; the encoder
@@ -156,21 +163,23 @@ def main() -> None:
     enc = params["encoder"]
 
     @jax.jit
-    def grad_head(r):
+    def grad_head(r, e, xb, yb, tb, twb):
         def loss(r_):
-            return full_loss({"encoder": enc, **r_}, True)
-        return jax.value_and_grad(loss)(r)[0]
+            return full_loss({"encoder": e, **r_}, xb, yb, tb, twb, True)
+        return jax.value_and_grad(loss)(r)
 
-    results["grad_head"] = _timeit(grad_head, rest, iters=args.iters) * 1e3
+    results["grad_head"] = _timeit(grad_head, rest, enc, x, label, target,
+                                   tw, iters=args.iters) * 1e3
     emit("grad_head", results["grad_head"])
 
     # --- BN batch-stat coupling: eval-mode BN backward ---
     @jax.jit
-    def grad_evalbn(p):
-        return jax.value_and_grad(lambda q: full_loss(q, False))(p)[0]
+    def grad_evalbn(p, xb, yb, tb, twb):
+        return jax.value_and_grad(
+            lambda q: full_loss(q, xb, yb, tb, twb, False))(p)
 
-    results["grad_evalbn"] = _timeit(grad_evalbn, params,
-                                     iters=args.iters) * 1e3
+    results["grad_evalbn"] = _timeit(grad_evalbn, params, x, label, target,
+                                     tw, iters=args.iters) * 1e3
     emit("grad_evalbn", results["grad_evalbn"])
 
     emit("derived: backbone bwd", results["grad_bb"] - results["fwd_bb"])

@@ -173,3 +173,37 @@ def test_remat_exact():
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_s2d_stride2_exact():
+    """The space-to-depth lowering of the backbone's stride-2 convs
+    (layers._S2DConv3x3s2) is the same math on the same param tree:
+    identical init, forward equal to float noise, gradients equal to
+    reduction-order noise."""
+    from hgr_tpu.models import GELANNet
+
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 64, 64, 3),
+                    jnp.float32)
+    plain = GELANNet("small", precision=HI)
+    s2d = GELANNet("small", precision=HI, s2d=True)
+    v = plain.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = s2d.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    assert max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), v, v2))) == 0.0
+
+    ya = plain.apply(v, x, train=False)
+    yb = s2d.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-5)
+
+    def loss(m, p):
+        out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    ga = jax.grad(lambda p: loss(plain, p))(v["params"])
+    gb = jax.grad(lambda p: loss(s2d, p))(v["params"])
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))
+                           / (jnp.max(jnp.abs(a)) + 1e-12)), ga, gb)
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-4
