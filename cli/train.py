@@ -78,7 +78,9 @@ def parse_args():
                              'activation HBM drops to one microbatch) — '
                              'pairs with --device_cache/--remat for '
                              'bs-1024 recipes beside an HBM-resident '
-                             'dataset cache (single-device path)')
+                             'dataset cache; composes with --mesh '
+                             '(batch_size must divide by accum x data '
+                             'axis)')
     parser.add_argument('--debug_images', action='store_true',
                         help='dump GT/pred/heatmap grids every 100 train '
                              'batches and one val batch (with attention) '
@@ -149,11 +151,13 @@ def main():
         save_dir=args.save_dir, canvas_size=args.canvas_size,
         grad_accum=args.grad_accum,
     )
-    if args.grad_accum > 1 and args.mesh:
-        raise SystemExit("--grad_accum is the single-device path; under "
-                         "--mesh, shard the batch over 'data' instead "
-                         "(the same memory relief without serializing "
-                         "microbatches)")
+    if args.grad_accum > 1:
+        denom = args.grad_accum * max(
+            1, mesh_shape.get('data', 1) if mesh_shape else 1)
+        if args.batch_size % denom:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must divide by "
+                f"grad_accum x data-axis ({denom})")
 
     from hgr_tpu.data.pipeline import staging_window_fraction
 

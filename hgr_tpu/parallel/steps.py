@@ -75,16 +75,23 @@ def make_parallel_train_step(
     heatmap_size=(48, 48),
     tensor_parallel: bool = False,
     class_loss_weight: float = 0.001,  # reference train.py:63
+    grad_accum: int = 1,
 ) -> Callable:
     """Jit the train step with explicit in/out shardings over ``mesh``.
 
     Returned step(state, batch, key): batch leaves with a leading batch
     dim must be sharded on 'data' (use parallel.mesh.shard_batch).
+
+    ``grad_accum > 1`` composes with the mesh: each scan microbatch is a
+    contiguous B/N row slice which GSPMD reshards over 'data' (an ICI
+    all-to-all on one microbatch's canvases — sub-ms next to the
+    microbatch's compute); gradients recombine exactly as in the
+    single-device path (train/steps.py).
     """
     inner = base_steps.make_train_step(
         aug_cfg, num_classes=num_classes, sigma=sigma,
         image_size=image_size, heatmap_size=heatmap_size, donate=False,
-        class_loss_weight=class_loss_weight)
+        class_loss_weight=class_loss_weight, grad_accum=grad_accum)
     # Reuse the un-jitted logic: make_train_step returns a jitted fn; get
     # its wrapped function to avoid nested jit dispatch overhead.
     fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner

@@ -222,7 +222,8 @@ def fit(
 
         p_train = make_parallel_train_step(
             mesh, aug, state, tensor_parallel=tensor_parallel,
-            class_loss_weight=train_cfg.class_loss_weight, **step_kw)
+            class_loss_weight=train_cfg.class_loss_weight,
+            grad_accum=train_cfg.grad_accum, **step_kw)
         p_eval = make_parallel_eval_step(
             mesh, state, tensor_parallel=tensor_parallel, **step_kw)
 

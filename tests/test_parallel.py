@@ -203,3 +203,40 @@ def test_dp_eval_padding_mask_exact():
     np.testing.assert_array_equal(
         np.asarray(m_ref["conf_update"]), np.asarray(m["conf_update"]))
     assert float(jnp.sum(m["conf_update"])) == n_real
+
+
+def test_dp_grad_accum_matches_plain_mesh_step():
+    """grad_accum composes with the DP mesh: two IDENTICAL microbatches
+    with zeroed augment randomness reproduce the accum=1 sharded step's
+    loss and metrics (GSPMD reshards each contiguous microbatch slice
+    over 'data'; the recombination math is the single-device one)."""
+    aug = AugmentConfig(rotate_factor=0.0, scale_factor=0.0,
+                        translate_factor=0.0, horizontal_flip=False,
+                        color_jittering=False)
+    half = _host_batch(8)
+    host = {k: np.concatenate([v, v], axis=0) for k, v in half.items()}
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh({"data": 8})
+
+    def run(accum):
+        state = shard_state(_tiny_state(), mesh)
+        step = make_parallel_train_step(mesh, aug, state,
+                                        grad_accum=accum, **STEP_KW)
+        with mesh:
+            sharded = shard_batch(host, mesh)
+            key_r = jax.device_put(
+                key, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()))
+            return step(state, sharded, key_r)
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(float(m1["cls_f1score"]),
+                               float(m2["cls_f1score"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m1["pose_acc"]),
+                               float(m2["pose_acc"]), rtol=1e-4)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-4)
