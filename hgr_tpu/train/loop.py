@@ -344,6 +344,7 @@ def fit(
         _save_confusion_png(
             np.asarray(test_metrics.conf), list(data_cfg.names.keys()),
             os.path.join(save_path, "confusion_matrix.png"))
+    ckpt.wait()  # commit any in-flight async checkpoint before returning
     logger.close()
     return state
 

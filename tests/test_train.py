@@ -290,3 +290,33 @@ def test_grad_accum_exact_combination():
 
     diffs = jax.tree_util.tree_map(rel_diff, m1["_grads"], m2["_grads"])
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
+def test_checkpoint_async_snapshot_semantics(tmp_path):
+    """Async saves snapshot the state EAGERLY: mutating (or donating)
+    the live state right after save_last must not change what restore
+    returns — and a best_metric.txt without a committed best/ dir is
+    ignored on init (interrupted async save)."""
+    img = 32
+    model = MultiTaskNet(image_size=(img, img))
+    state, _ = create_train_state(model, jax.random.PRNGKey(0),
+                                  (1, img, img, 3), lr=1e-3,
+                                  milestones_steps=(10,))
+    ckpt = CheckpointManager(str(tmp_path / "w"))
+    saved_leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    ckpt.save_last(state)
+    # simulate the next train step reusing/donating the buffers
+    mutated = state.replace(params=jax.tree_util.tree_map(
+        lambda p: p + 1.0, state.params))
+    restored = ckpt.restore(mutated, "last")
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        saved_leaf)
+
+    # interrupted-async guard: metric file without best/ dir is ignored
+    d = tmp_path / "w2"
+    d.mkdir()
+    (d / "best_metric.txt").write_text("0.0")
+    c2 = CheckpointManager(str(d))
+    assert c2.maybe_save_best(state, 123.0), (
+        "stale best_metric.txt (no committed best/) must not block saves")
