@@ -142,3 +142,27 @@ def test_nan_guard():
     with pytest.raises(NonFiniteLossError):
         train_epoch(FakeState(), bad_step, FakeLoader(),
                     jax.random.PRNGKey(0), EpochMetrics(19))
+
+
+def test_gen_synthetic_chunked_layout(tmp_path):
+    """The chunked generator (hgr_tpu/tools/gen_synthetic.py) relocates
+    each chunk's json into the shared split annotation dir and the
+    reader consumes all chunks as one split, resolving every chunk's
+    images from its own stem."""
+    from hgr_tpu.config import DEFAULT_NAMES
+    from hgr_tpu.data.dataset import read_annotations
+    from hgr_tpu.tools.gen_synthetic import generate
+
+    out = str(tmp_path / "ds")
+    generate(out, {"train": 10, "val": 4}, image_size=64, chunk_size=4,
+             workers=2, base_seed=0)
+    idx = read_annotations(os.path.join(out, "annotations", "train"),
+                           DEFAULT_NAMES)
+    assert len(idx) == 10  # 4 + 4 + 2 across three chunk files
+    assert all(os.path.isfile(s.image_path) for s in idx.samples)
+    # chunks resolve to distinct image dirs
+    dirs = {os.path.dirname(s.image_path) for s in idx.samples}
+    assert len(dirs) == 3
+    idx_val = read_annotations(os.path.join(out, "annotations", "val"),
+                               DEFAULT_NAMES)
+    assert len(idx_val) == 4
