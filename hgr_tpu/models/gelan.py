@@ -92,16 +92,16 @@ class GELANNet(nn.Module):
     # unchanged (function-level nn.remat, children keep their names;
     # tests/test_model.py pins grad equality).
     remat: bool = False
-    # Space-to-depth lowering for the four stride-2 convs (see
-    # layers._S2DConv3x3s2): identical math + param tree, dense TPU
-    # gradients instead of input-dilated conv transposes.
-    s2d: bool = False
+    # Lowering for the four stride-2 convs (layers.ConvBnAct
+    # stride2_impl): 'plain', 's2d' (space-to-depth), or 'dense_grad'
+    # (phase-decomposed input gradient). Identical math + param tree.
+    stride2_impl: str = "plain"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         block, layers = GELAN_SPEC[self.variant]
         kw = dict(dtype=self.dtype, precision=self.precision)
-        skw = dict(s2d=self.s2d, **kw)
+        skw = dict(stride2_impl=self.stride2_impl, **kw)
 
         def _body(mdl, x, train):
             x = ConvBnAct(64, 3, 2, name="conv1", **skw)(x, train)

@@ -53,6 +53,91 @@ def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
     return p
 
 
+def _conv3x3s2_plain(x, w, precision):
+    import jax.lax as lax
+
+    return lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3s2_dense_grad(x, w, precision):
+    """3x3 stride-2 conv whose INPUT gradient is computed by phase
+    decomposition instead of XLA's input-dilated transposed conv.
+
+    Forward: the plain strided conv (identical lowering, zero cost).
+    Backward dx: with k=3, s=2, pad=1, even input positions receive
+    exactly one tap (the center row/col) and odd positions two — so dx
+    splits into four DENSE stride-1 convs over dy (kernels are slices of
+    W, sizes 1x1 / 1x2 / 2x1 / 2x2), interleaved back with one reshape.
+    Same multiply-add set as the dilated formulation but without the
+    75%-zero wasted MXU work. dw reuses XLA's standard filter-grad
+    lowering (via jax.vjp of the w-only closure).
+    """
+    return _conv3x3s2_plain(x, w, precision)
+
+
+def _conv3x3s2_dg_fwd(x, w, precision):
+    return _conv3x3s2_plain(x, w, precision), (x, w)
+
+
+def _conv3x3s2_dg_bwd(precision, res, ct):
+    import jax.lax as lax
+
+    x, w = res
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def pconv(k, pad):
+        return lax.conv_general_dilated(
+            ct, k.astype(ct.dtype), (1, 1), pad,
+            dimension_numbers=dn, precision=precision)
+
+    wt = jnp.swapaxes(w, 2, 3)  # (t, u, O, C)
+    k00 = wt[1:2, 1:2]
+    k01 = jnp.stack([wt[1, 2], wt[1, 0]], axis=0)[None]      # (1,2,O,C)
+    k10 = jnp.stack([wt[2, 1], wt[0, 1]], axis=0)[:, None]   # (2,1,O,C)
+    k11 = jnp.stack([jnp.stack([wt[2, 2], wt[2, 0]], 0),
+                     jnp.stack([wt[0, 2], wt[0, 0]], 0)], 0)  # (2,2,O,C)
+    p00 = pconv(k00, ((0, 0), (0, 0)))
+    p01 = pconv(k01, ((0, 0), (0, 1)))
+    p10 = pconv(k10, ((0, 1), (0, 0)))
+    p11 = pconv(k11, ((0, 1), (0, 1)))
+    b, h, wd, c = p00.shape
+    dx = jnp.stack([p00, p01, p10, p11], axis=3)
+    dx = dx.reshape(b, h, wd, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    dx = dx.reshape(b, 2 * h, 2 * wd, c).astype(x.dtype)
+
+    _, vjp_w = jax.vjp(lambda w_: _conv3x3s2_plain(x, w_, precision), w)
+    dw, = vjp_w(ct)
+    return dx, dw
+
+
+conv3x3s2_dense_grad.defvjp(_conv3x3s2_dg_fwd, _conv3x3s2_dg_bwd)
+
+
+class _DenseGradConv3x3s2(nn.Module):
+    """3x3 stride-2 conv module using ``conv3x3s2_dense_grad``; the
+    param keeps the reference (3, 3, Cin, Cout) shape and the
+    ``conv/kernel`` tree path."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init(),
+                            (3, 3, c, self.features), jnp.float32)
+        return conv3x3s2_dense_grad(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            self.precision)
+
+
 class _S2DConv3x3s2(nn.Module):
     """3x3 stride-2 conv computed as space-to-depth + 2x2 stride-1 conv.
 
@@ -105,9 +190,10 @@ class ConvBnAct(nn.Module):
     """conv(bias=False) + BatchNorm + activation
     (reference model/gelan.py:18-56 ``Conv``; default act SiLU).
 
-    ``s2d=True`` routes an eligible 3x3/stride-2 conv through the
-    space-to-depth lowering (see _S2DConv3x3s2) — same math, dense
-    TPU gradients."""
+    ``stride2_impl`` routes an eligible 3x3/stride-2 conv through an
+    alternative lowering — 's2d' (space-to-depth, _S2DConv3x3s2) or
+    'dense_grad' (plain forward + phase-decomposed input gradient,
+    conv3x3s2_dense_grad). Same math and param tree either way."""
 
     features: int
     kernel_size: int = 1
@@ -118,15 +204,20 @@ class ConvBnAct(nn.Module):
     use_act: bool = True
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    s2d: bool = False
+    stride2_impl: str = "plain"  # 'plain' | 's2d' | 'dense_grad'
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         p = autopad(self.kernel_size, self.padding, self.dilation)
-        if (self.s2d and self.kernel_size == 3 and self.strides == 2
-                and self.groups == 1 and self.dilation == 1 and p == 1):
+        eligible = (self.kernel_size == 3 and self.strides == 2
+                    and self.groups == 1 and self.dilation == 1 and p == 1)
+        if eligible and self.stride2_impl == "s2d":
             x = _S2DConv3x3s2(self.features, dtype=self.dtype,
                               precision=self.precision, name="conv")(x)
+        elif eligible and self.stride2_impl == "dense_grad":
+            x = _DenseGradConv3x3s2(self.features, dtype=self.dtype,
+                                    precision=self.precision,
+                                    name="conv")(x)
         else:
             x = nn.Conv(
                 features=self.features,

@@ -45,9 +45,9 @@ class MultiTaskNet(nn.Module):
     # Backward-pass remat of the backbone body and the pose head
     # (gelan.GELANNet.remat, vit.ViT.remat_pose_head) — memory for FLOPs.
     remat: bool = False
-    # Space-to-depth lowering of the backbone's stride-2 convs
-    # (layers._S2DConv3x3s2): same math/params, dense TPU gradients.
-    s2d: bool = False
+    # Lowering of the backbone's stride-2 convs (layers.ConvBnAct
+    # stride2_impl: 'plain' | 's2d' | 'dense_grad'): same math/params.
+    stride2_impl: str = "plain"
 
     @classmethod
     def from_config(cls, cfg: ModelConfig) -> "MultiTaskNet":
@@ -78,7 +78,7 @@ class MultiTaskNet(nn.Module):
         x = x.astype(self.dtype)
         feats = GELANNet(self.backbone, dtype=self.dtype,
                          precision=self.precision,
-                         remat=self.remat, s2d=self.s2d,
+                         remat=self.remat, stride2_impl=self.stride2_impl,
                          name="encoder")(x, train)
         from hgr_tpu.models.layers import torch_kernel_init
 

@@ -185,7 +185,7 @@ def test_s2d_stride2_exact():
     x = jnp.asarray(np.random.RandomState(4).randn(2, 64, 64, 3),
                     jnp.float32)
     plain = GELANNet("small", precision=HI)
-    s2d = GELANNet("small", precision=HI, s2d=True)
+    s2d = GELANNet("small", precision=HI, stride2_impl="s2d")
     v = plain.init(jax.random.PRNGKey(0), x, train=False)
     v2 = s2d.init(jax.random.PRNGKey(0), x, train=False)
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
@@ -203,6 +203,65 @@ def test_s2d_stride2_exact():
 
     ga = jax.grad(lambda p: loss(plain, p))(v["params"])
     gb = jax.grad(lambda p: loss(s2d, p))(v["params"])
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))
+                           / (jnp.max(jnp.abs(a)) + 1e-12)), ga, gb)
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-4
+
+
+def test_dense_grad_stride2_exact():
+    """conv3x3s2_dense_grad: plain forward, phase-decomposed input
+    gradient — forward identical, dx/dw match autodiff of the plain
+    conv to float noise (layers.ConvBnAct stride2_impl='dense_grad')."""
+    import jax.lax as lax
+    from hgr_tpu.models.layers import conv3x3s2_dense_grad
+
+    HIP = jax.lax.Precision.HIGHEST
+    rng = np.random.RandomState(5)
+    for h, w_, cin, cout in ((8, 8, 3, 4), (12, 16, 5, 7)):
+        x = jnp.asarray(rng.randn(2, h, w_, cin), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, cin, cout), jnp.float32)
+
+        def plain(x_, w_):
+            return lax.conv_general_dilated(
+                x_, w_, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=HIP)
+
+        y0 = plain(x, w)
+        y1 = conv3x3s2_dense_grad(x, w, HIP)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+        ct = jnp.asarray(rng.randn(*y0.shape), jnp.float32)
+        dx0, dw0 = jax.vjp(plain, x, w)[1](ct)
+        dx1, dw1 = jax.vjp(
+            lambda x_, w_: conv3x3s2_dense_grad(x_, w_, HIP), x, w)[1](ct)
+        np.testing.assert_allclose(np.asarray(dx0), np.asarray(dx1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dw0), np.asarray(dw1),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_dense_grad_backbone_grads_match():
+    """GELANNet(stride2_impl='dense_grad') gradients match the plain
+    backbone's on the same params."""
+    from hgr_tpu.models import GELANNet
+
+    x = jnp.asarray(np.random.RandomState(6).randn(2, 64, 64, 3),
+                    jnp.float32)
+    plain = GELANNet("small", precision=HI)
+    dg = GELANNet("small", precision=HI, stride2_impl="dense_grad")
+    v = plain.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        dg.init(jax.random.PRNGKey(0), x, train=False)))
+
+    def loss(m, p):
+        out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    ga = jax.grad(lambda p: loss(plain, p))(v["params"])
+    gb = jax.grad(lambda p: loss(dg, p))(v["params"])
     rel = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))
                            / (jnp.max(jnp.abs(a)) + 1e-12)), ga, gb)
