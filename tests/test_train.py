@@ -320,3 +320,66 @@ def test_checkpoint_async_snapshot_semantics(tmp_path):
     c2 = CheckpointManager(str(d))
     assert c2.maybe_save_best(state, 123.0), (
         "stale best_metric.txt (no committed best/) must not block saves")
+
+
+def test_grad_accum_tail_batch_weighting():
+    """With UNEQUAL valid counts across microbatches (padded tail), the
+    accumulated gradient equals the valid-count-weighted average of the
+    per-microbatch gradients, with BN statistics threaded sequentially
+    (exactly what the accum scan does)."""
+    img = 64
+    aug = AugmentConfig(rotate_factor=0.0, scale_factor=0.0,
+                        translate_factor=0.0, horizontal_flip=False,
+                        color_jittering=False)
+    model = MultiTaskNet(image_size=(img, img))
+    rng = np.random.RandomState(1)
+
+    def mk(b, valid):
+        return {
+            "canvas": jnp.asarray(rng.randint(0, 255, (b, img, img, 3)),
+                                  jnp.uint8),
+            "orig_to_canvas": jnp.tile(jnp.asarray(
+                [[1.0, 0, 0], [0, 1.0, 0]], jnp.float32), (b, 1, 1)),
+            "sizes_hw": jnp.full((b, 2), float(img)),
+            "joints": jnp.asarray(rng.rand(b, 21, 2) * img, jnp.float32),
+            "joints_vis": jnp.ones((b, 21)),
+            "label": jnp.asarray(rng.randint(0, 19, (b,)), jnp.int32),
+            "valid": jnp.asarray(valid, jnp.float32),
+        }
+
+    mb1 = mk(4, [1, 1, 1, 1])
+    mb2 = mk(4, [1, 1, 0, 0])
+    full = {k: jnp.concatenate([mb1[k], mb2[k]], axis=0) for k in mb1}
+
+    state0, _ = create_train_state(model, jax.random.PRNGKey(0),
+                                   (1, img, img, 3), lr=1e-3,
+                                   milestones_steps=(10**6,))
+    kw = dict(image_size=(img, img), heatmap_size=(img // 4, img // 4),
+              donate=False, debug_return_grads=True)
+    step1 = make_train_step(aug, grad_accum=1, **kw)
+    step2 = make_train_step(aug, grad_accum=2, **kw)
+
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key, 2)
+    s_after1, m1 = step1(state0, mb1, k1)
+    # microbatch 2 sees params0 but the BN stats mb1 produced (the scan
+    # threads stats through the carry)
+    s_mid = state0.replace(batch_stats=s_after1.batch_stats)
+    _, m2 = step1(s_mid, mb2, k2)
+
+    _, macc = step2(state0, full, key)
+
+    v1, v2 = float(m1["valid_cnt"]), float(m2["valid_cnt"])
+    assert (v1, v2) == (4.0, 2.0)
+    expected = jax.tree_util.tree_map(
+        lambda a, b: (a * v1 + b * v2) / (v1 + v2),
+        m1["_grads"], m2["_grads"])
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))
+                           / (jnp.max(jnp.abs(a)) + 1e-12)),
+        expected, macc["_grads"])
+    assert max(jax.tree_util.tree_leaves(rel)) < 2e-4
+    np.testing.assert_allclose(
+        float(macc["total_loss"]),
+        (float(m1["total_loss"]) * v1 + float(m2["total_loss"]) * v2)
+        / (v1 + v2), rtol=1e-5)
