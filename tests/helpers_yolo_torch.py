@@ -207,6 +207,55 @@ def fused_convs(model: TorchYoloV7Tiny) -> List[Tuple[np.ndarray,
     return out
 
 
+class FusedTorchYoloV7Tiny(nn.Module):
+    """The DEPLOY network exactly as yolov7's export.py serializes it:
+    ``attempt_load(...).fuse()`` folds every BN into its conv before
+    ``torch.onnx.export``, so the traced graph is Conv(bias)+LeakyReLU
+    pairs. Built from an oracle's fused weights; numerically identical
+    to the oracle's eval forward."""
+
+    def __init__(self, oracle: "TorchYoloV7Tiny"):
+        super().__init__()
+        fused = fused_convs(oracle)
+        it = iter(fused)
+        mods: List[nn.Module] = []
+        for _frm, name, args in SPEC:
+            if name == "Conv":
+                c1, c2, k, s = args
+                conv = nn.Conv2d(c1, c2, k, s, k // 2, bias=True)
+                w, b = next(it)
+                with torch.no_grad():
+                    conv.weight.copy_(torch.from_numpy(w))
+                    conv.bias.copy_(torch.from_numpy(b))
+                mods.append(nn.Sequential(conv, nn.LeakyReLU(0.1)))
+            else:
+                mods.append(_MODULES[name](*args))
+        self.layers = nn.ModuleList(mods)
+        no = oracle.detect[0].out_channels
+        self.detect = nn.ModuleList(
+            [nn.Conv2d(c, no, 1, bias=True) for c in (128, 256, 512)])
+        for dst in self.detect:
+            w, b = next(it)
+            with torch.no_grad():
+                dst.weight.copy_(torch.from_numpy(w))
+                dst.bias.copy_(torch.from_numpy(b))
+
+    def forward(self, x):
+        outputs = []
+        cur = x
+        for i, (frm, _name, _args) in enumerate(SPEC):
+            if isinstance(frm, list):
+                xs = [outputs[j if j >= 0 else i + j] for j in frm]
+                cur = self.layers[i](xs)
+            else:
+                src = cur if frm == -1 else outputs[i + frm if frm < 0
+                                                    else frm]
+                cur = self.layers[i](src)
+            outputs.append(cur)
+        return [self.detect[k](outputs[li])
+                for k, li in enumerate(HEAD_LAYERS)]
+
+
 def torch_decode(outs, num_classes: int = 1):
     """yolov7 IDetect inference decode (torch reference for the parity
     test): returns (B, N, 5+nc) rows [cx, cy, w, h, obj, cls...]."""
