@@ -209,6 +209,24 @@ class ConvBnAct(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         p = autopad(self.kernel_size, self.padding, self.dilation)
+        # PTQ calibration hook (infer/quant.py): record the absmax of this
+        # conv's input. Only traced when a caller passes
+        # mutable=['quant_stats']; zero cost otherwise (and skipped at
+        # init so the collection never leaks into fresh variable trees).
+        if (not self.is_initializing()
+                and self.is_mutable_collection("quant_stats")):
+            self.sow(
+                "quant_stats", "in_absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.zeros((), jnp.float32))
+        # int8 PTQ inference branch (infer/quant.py:quantize_variables):
+        # taken when the variables carry a 'quant' entry for this module.
+        # BN is pre-folded into the int8 kernel + f32 bias, the input is
+        # quantized against a calibrated per-tensor scale, and the conv
+        # accumulates exactly in int32 on the MXU. Inference only.
+        if not train and self.has_variable("quant", "kernel_q"):
+            return self._quantized(x, p)
         eligible = (self.kernel_size == 3 and self.strides == 2
                     and self.groups == 1 and self.dilation == 1 and p == 1)
         if eligible and self.stride2_impl == "s2d":
@@ -243,6 +261,36 @@ class ConvBnAct(nn.Module):
         if self.use_act:
             x = nn.silu(x)
         return x.astype(self.dtype)
+
+    def _quantized(self, x: Array, p: int) -> Array:
+        """int8 inference path: quantize input -> int8 conv (int32
+        accumulate) -> dequant with the BN-folded scale/bias -> SiLU.
+
+        Variables (collection 'quant', built by
+        infer/quant.py:quantize_variables):
+          kernel_q  (k, k, Cin, Cout) int8 — BN-folded, per-out-channel
+          out_scale (Cout,) f32 — act_scale * per-channel weight scale
+          act_scale ()      f32 — calibrated input scale (absmax/127)
+          bias      (Cout,) f32 — BN-folded bias
+        """
+        assert self.groups == 1 and self.dilation == 1, (
+            "int8 path supports plain convs only")
+        dummy = lambda: None  # apply-time read; never initialized here
+        wq = self.variable("quant", "kernel_q", dummy).value
+        out_scale = self.variable("quant", "out_scale", dummy).value
+        act_scale = self.variable("quant", "act_scale", dummy).value
+        bias = self.variable("quant", "bias", dummy).value
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
+        ).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, (self.strides, self.strides), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * out_scale + bias
+        if self.use_act:
+            y = nn.silu(y)
+        return y.astype(self.dtype)
 
 
 class ResBasicBlock(nn.Module):

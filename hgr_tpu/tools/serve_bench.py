@@ -1,0 +1,123 @@
+"""Serving load benchmark: offered-load sweep against ClassifierService.
+
+Fires concurrent clients at the micro-batching classifier and reports
+achieved throughput, request latency percentiles, and the batch-size
+histogram the batcher actually formed — the serving numbers the
+reference cannot produce (its inference is frame-serial,
+detect.py:179-205).
+
+Note on absolute latencies: under the axon tunnel every device dispatch
+carries ~25-30 ms RTT (BENCH_LOG round 2 caveat); the interesting
+outputs here are throughput, batch formation, and latency DELTAS
+between configs on the same tunnel.
+
+Usage (real chip):
+  python -m hgr_tpu.tools.serve_bench [--ckpt DIR] [--requests 2048]
+      [--clients 64] [--max_batch 128] [--max_wait_ms 5] [--quantize]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+
+def run_load(service, n_requests: int, n_clients: int, crops: np.ndarray
+             ) -> dict:
+    done = threading.Barrier(n_clients + 1)
+    counter = {"i": 0}
+    lock = threading.Lock()
+
+    def client():
+        rng = np.random.RandomState(threading.get_ident() % 2**31)
+        while True:
+            with lock:
+                if counter["i"] >= n_requests:
+                    break
+                counter["i"] += 1
+            service.classify(crops[rng.randint(len(crops))], timeout=120.0)
+        done.wait()
+
+    threads = [threading.Thread(target=client, daemon=True)
+               for _ in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    done.wait()
+    wall = time.perf_counter() - t0
+    snap = service.metrics.snapshot()
+    snap["wall_s"] = wall
+    snap["achieved_rps"] = n_requests / wall
+    return snap
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", default="", help="orbax ckpt dir / .npz; "
+                    "empty = random weights (throughput-only)")
+    ap.add_argument("--requests", type=int, default=2048)
+    ap.add_argument("--clients", type=int, default=64)
+    ap.add_argument("--max_batch", type=int, default=128)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--quantize", action="store_true",
+                    help="serve the int8 backbone (calibrated on noise)")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from hgr_tpu.infer.weights import load_classifier_weights
+    from hgr_tpu.models import MultiTaskNet
+    from hgr_tpu.serve import ClassifierService
+    from hgr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    model = MultiTaskNet(dtype=jnp.bfloat16)
+    variables = load_classifier_weights(args.ckpt)
+    if args.quantize:
+        from hgr_tpu.infer.quant import quantize_model
+
+        rng = np.random.RandomState(0)
+        calib = [rng.uniform(-2.1, 2.6, (256, 192, 192, 3)
+                             ).astype(np.float32)]
+        variables = quantize_model(model, variables, calib,
+                                   need_attnmap=False)
+
+    service = ClassifierService(
+        model, variables, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms)
+    print("warming all batch buckets...", flush=True)
+    service.warm()
+
+    crops = np.random.RandomState(1).randint(
+        0, 255, (64, 192, 192, 3), dtype=np.uint8)
+    try:
+        snap = run_load(service, args.requests, args.clients, crops)
+    finally:
+        service.stop()
+    result = {
+        "requests": args.requests,
+        "clients": args.clients,
+        "max_batch": args.max_batch,
+        "max_wait_ms": args.max_wait_ms,
+        "quantized": args.quantize,
+        **snap,
+    }
+    print(json.dumps(result, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Serving engine (hgr_tpu/serve): dynamic micro-batching, metrics,
+the classifier service, and the HTTP front end.
+
+Beyond-reference subsystem — the reference serves one frame at a time
+through a script (detect.py:171-207); these tests pin the batching
+semantics that make concurrent requests share one device dispatch.
+"""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hgr_tpu.serve import ClassifierService, MicroBatcher, ServeMetrics
+
+
+def _sum_runner(calls):
+    def run_batch(stacked):
+        calls.append(stacked.shape[0])
+        return [float(x.sum()) for x in stacked]
+
+    return run_batch
+
+
+def test_single_request_roundtrip():
+    calls = []
+    mb = MicroBatcher(_sum_runner(calls), max_batch=8, max_wait_ms=1.0)
+    try:
+        assert mb(np.full((4,), 2.0)) == 8.0
+        assert calls and calls[0] in (1, 2, 4, 8)
+    finally:
+        mb.stop()
+
+
+def test_concurrent_requests_share_a_batch():
+    calls = []
+    release = threading.Event()
+
+    def run_batch(stacked):
+        release.wait(5.0)  # hold the first dispatch until all enqueued
+        calls.append(stacked.shape[0])
+        return [float(x.sum()) for x in stacked]
+
+    mb = MicroBatcher(run_batch, max_batch=16, max_wait_ms=50.0)
+    try:
+        futs = [mb.submit(np.full((2,), float(i))) for i in range(8)]
+        release.set()
+        results = [f.result(timeout=10.0) for f in futs]
+        assert results == [2.0 * i for i in range(8)]
+        # all 8 landed in at most 2 dispatches (first may race ahead
+        # with fewer), and every dispatch size is a power-of-two bucket
+        assert sum(calls) >= 8 and len(calls) <= 2
+        for c in calls:
+            assert c in (1, 2, 4, 8, 16)
+    finally:
+        mb.stop()
+
+
+def test_batch_pads_to_bucket_and_orders_results():
+    calls = []
+    mb = MicroBatcher(_sum_runner(calls), max_batch=8, max_wait_ms=200.0)
+    try:
+        time.sleep(0.05)  # let the dispatcher block on an empty queue
+        futs = [mb.submit(np.full((1,), float(i))) for i in range(3)]
+        assert [f.result(timeout=10.0) for f in futs] == [0.0, 1.0, 2.0]
+        assert 4 in calls  # 3 requests padded up to the 4-bucket
+        assert mb.metrics.snapshot()["padded_items"] >= 1
+    finally:
+        mb.stop()
+
+
+def test_runner_error_propagates_to_every_future():
+    def run_batch(stacked):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(run_batch, max_batch=4, max_wait_ms=20.0)
+    try:
+        futs = [mb.submit(np.zeros((1,))) for _ in range(3)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="boom"):
+                f.result(timeout=10.0)
+        assert mb.metrics.snapshot()["errors"] == 3
+    finally:
+        mb.stop()
+
+
+def test_stop_rejects_new_and_fails_queued():
+    started = threading.Event()
+    block = threading.Event()
+
+    def run_batch(stacked):
+        started.set()
+        block.wait(5.0)
+        return [0.0] * stacked.shape[0]
+
+    mb = MicroBatcher(run_batch, max_batch=1, max_wait_ms=1.0)
+    f1 = mb.submit(np.zeros((1,)))
+    assert started.wait(5.0)
+    f2 = mb.submit(np.zeros((1,)))  # sits in the queue behind f1
+    block.set()
+    mb.stop()
+    assert f1.result(timeout=10.0) == 0.0
+    with pytest.raises(RuntimeError):
+        mb.submit(np.zeros((1,)))
+    # f2 either ran before the stop drained the queue or was failed
+    if f2.exception(timeout=10.0) is not None:
+        assert "stopped" in str(f2.exception())
+
+
+def test_metrics_snapshot_fields():
+    m = ServeMetrics()
+    m.record_batch(3, 4, [0.001, 0.002, 0.003])
+    snap = m.snapshot()
+    assert snap["requests"] == 3
+    assert snap["batches"] == 1
+    assert snap["padded_items"] == 1
+    assert snap["batch_hist"] == {4: 1}
+    assert snap["latency_ms"]["p50"] == pytest.approx(2.0, abs=0.5)
+
+
+@pytest.fixture(scope="module")
+def tiny_service():
+    model_args = dict(image_size=(48, 48), dtype=jnp.float32)
+    from hgr_tpu.models import MultiTaskNet
+
+    model = MultiTaskNet(**model_args)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 48, 48, 3)), train=False)
+    svc = ClassifierService(model, variables,
+                            class_names={"fist": 2, "palm": 8},
+                            max_batch=4, max_wait_ms=5.0)
+    svc.warm()
+    yield svc
+    svc.stop()
+
+
+def test_classifier_service_output_contract(tiny_service):
+    crop = np.random.RandomState(0).randint(
+        0, 255, (48, 48, 3), dtype=np.uint8)
+    out = tiny_service.classify(crop, timeout=30.0)
+    assert set(out) == {"label", "label_name", "probs", "landmarks"}
+    assert out["probs"].shape == (19,)
+    assert np.isclose(out["probs"].sum(), 1.0, atol=1e-3)
+    assert out["landmarks"].shape == (21, 2)
+    assert (out["landmarks"] >= 0).all() and (out["landmarks"] < 48).all()
+    assert out["label"] == int(out["probs"].argmax())
+
+
+def test_classifier_service_batches_match_direct_forward(tiny_service):
+    rng = np.random.RandomState(1)
+    crops = rng.randint(0, 255, (6, 48, 48, 3), dtype=np.uint8)
+    futs = [tiny_service.submit(c) for c in crops]
+    probs = np.stack([f.result(timeout=30.0)["probs"] for f in futs])
+    # identical crops through different dispatches agree exactly
+    again = np.stack([tiny_service.classify(c, timeout=30.0)["probs"]
+                      for c in crops])
+    np.testing.assert_allclose(probs, again, atol=1e-6)
+
+
+def test_classifier_service_rejects_bad_shape(tiny_service):
+    with pytest.raises(ValueError, match="expected"):
+        tiny_service.submit(np.zeros((32, 32, 3), np.uint8))
+
+
+def test_detector_service_full_frames():
+    from hgr_tpu.config import DEFAULT_NAMES
+    from hgr_tpu.infer.detect import HandGesturePipeline
+    from hgr_tpu.infer.weights import (
+        load_classifier_weights,
+        load_detector_weights,
+    )
+    from hgr_tpu.serve import DetectorService
+
+    pipe = HandGesturePipeline(
+        load_classifier_weights("", image_size=(64, 64)),
+        load_detector_weights("", det_img_size=160),
+        DEFAULT_NAMES, det_img_size=160, cls_img_size=(64, 64),
+        score_thresh=-1.0, dtype=jnp.float32)
+    svc = DetectorService(pipe, frame_hw=(180, 320), max_batch=4,
+                          max_wait_ms=20.0)
+    try:
+        frames = np.random.RandomState(0).randint(
+            0, 255, (3, 180, 320, 3), np.uint8)
+        futs = [svc.submit(f) for f in frames]
+        results = [f.result(timeout=120.0) for f in futs]
+        direct = pipe.infer_frames(frames)
+        for got, want in zip(results, direct):
+            assert got["label"] == want["label"]
+            np.testing.assert_array_equal(got["box"], want["box"])
+        with pytest.raises(ValueError, match="expected"):
+            svc.submit(np.zeros((64, 64, 3), np.uint8))
+    finally:
+        svc.stop()
+
+
+def test_http_server_end_to_end(tiny_service):
+    from cli.serve import make_handler
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(tiny_service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+            assert json.loads(r.read()) == {"ok": True}
+
+        crop = np.random.RandomState(2).randint(
+            0, 255, (48, 48, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, crop)
+        req = urllib.request.Request(f"{base}/classify", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = json.loads(r.read())
+        assert 0 <= body["label"] < 19
+        assert len(body["probs"]) == 19
+        assert len(body["landmarks"]) == 21
+        # direct call agrees with the HTTP path
+        direct = tiny_service.classify(crop, timeout=30.0)
+        assert direct["label"] == body["label"]
+
+        bad = urllib.request.Request(
+            f"{base}/classify",
+            data=b"not an npy", method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code in (400, 500)
+        assert raised
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 1 and "latency_ms" in stats
+    finally:
+        httpd.shutdown()
+        thread.join(timeout=5.0)
