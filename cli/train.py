@@ -65,6 +65,13 @@ def parse_args():
                              'removes the per-epoch host->device upload '
                              'on link-bound hosts (single-device only; '
                              'hgr_tpu/data/device_cache.py)')
+    parser.add_argument('--cache_snapshot', default='', metavar='DIR',
+                        help='with --device_cache: persist the staged '
+                             'rows to DIR on first build and refill HBM '
+                             'from the on-disk memmaps on later runs — '
+                             'a resume/restart skips JPEG decode and '
+                             'canvas staging (stale snapshots rebuild '
+                             'automatically)')
     parser.add_argument('--remat', action='store_true',
                         help='rematerialize the backbone body and pose '
                              'head in the backward pass — frees ~8 GB of '
@@ -184,13 +191,19 @@ def main():
             drop_last=drop_last, num_workers=args.num_workers,
             window_frac=window_frac)
         if cache and args.device_cache:
+            snap = ''
+            if args.cache_snapshot:
+                snap = os.path.join(
+                    args.cache_snapshot,
+                    os.path.basename(os.path.normpath(split_dir)))
             if mesh is not None:
                 from hgr_tpu.data.device_cache import (
                     ShardedDeviceCacheLoader,
                 )
-                return idx, ShardedDeviceCacheLoader(idx, mesh, **kw)
+                return idx, ShardedDeviceCacheLoader(
+                    idx, mesh, snapshot_dir=snap, **kw)
             from hgr_tpu.data.device_cache import DeviceCacheLoader
-            return idx, DeviceCacheLoader(idx, **kw)
+            return idx, DeviceCacheLoader(idx, snapshot_dir=snap, **kw)
         return idx, BatchLoader(idx, **kw)
 
     # No split drops its ragged tail: the reference's DataLoaders all

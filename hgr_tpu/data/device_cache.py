@@ -35,14 +35,29 @@ shuffle is the standard sharded-input recipe; every real sample still
 trains exactly once per epoch (per-shard tail repeats carry valid=0
 masks, consumed by the loss/metrics masking like the streaming tail).
 
+Disk snapshot: pass ``snapshot_dir`` (CLI ``--cache_snapshot``) and the
+first build also persists the staged flat rows as per-key ``.npy``
+memmaps plus a manifest keyed by a fingerprint of (annotations, labels,
+staging params). Later runs — a ``--resume``, a second recipe on the
+same split — fill HBM straight from the memmaps, skipping JPEG decode
+and canvas staging entirely (the expensive host half of the 100k
+rehearsal's 906 s restart, BENCH_LOG). A stale or partial snapshot
+(changed dataset, crashed build — the manifest is written last) falls
+back to streaming and rewrites itself.
+
 No reference counterpart: the torch pipeline re-decodes JPEGs in worker
 processes every epoch (reference libs/load.py:280-305).
 """
 
 from __future__ import annotations
 
+import contextlib
+import hashlib
+import json
+import os
+import warnings
 from functools import partial
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
@@ -50,6 +65,153 @@ from hgr_tpu.data.loader import BatchLoader
 
 _CACHED_KEYS = ("canvas", "orig_to_canvas", "sizes_hw", "joints",
                 "joints_vis", "label")
+
+SNAPSHOT_VERSION = 1
+_MANIFEST = "manifest.json"
+
+
+def index_fingerprint(index, canvas_size: int, num_joints: int,
+                      window_frac: float) -> str:
+    """Identity of the staged byte content of a split.
+
+    Staging is deterministic per sample (pipeline.stage_image), so the
+    staged rows are a pure function of (image files, landmarks, labels,
+    staging params). Hash the annotation content + params; image paths
+    stand in for pixel content (re-encoding an image in place without
+    renaming it defeats this, like any mtime-free cache key — the
+    HaGRID extraction flow never does that)."""
+    h = hashlib.sha256()
+    h.update(f"v{SNAPSHOT_VERSION}|{canvas_size}|{num_joints}|"
+             f"{window_frac:.6f}|{len(index)}".encode())
+    for s in index.samples:
+        h.update(s.image_path.encode())
+        h.update(b"|")
+        h.update(s.label.encode())
+        h.update(np.asarray(s.landmark, np.float32).tobytes())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def _snapshot_load(snap_dir: str, fingerprint: str, n: int, spec
+                   ) -> Optional[Dict[str, np.ndarray]]:
+    """Memory-mapped snapshot rows, or None when absent/stale/corrupt."""
+    try:
+        with open(os.path.join(snap_dir, _MANIFEST)) as f:
+            man = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if (man.get("version") != SNAPSHOT_VERSION
+            or man.get("n") != n
+            or man.get("fingerprint") != fingerprint):
+        warnings.warn(
+            f"device-cache snapshot at {snap_dir} is stale (dataset or "
+            "staging params changed); rebuilding from images",
+            RuntimeWarning, stacklevel=3)
+        return None
+    out = {}
+    for k, (flat, _, dt) in spec.items():
+        try:
+            arr = np.load(os.path.join(snap_dir, k + ".npy"), mmap_mode="r")
+        except (OSError, ValueError):
+            return None
+        if arr.shape != (n, flat) or arr.dtype != np.dtype(dt):
+            return None
+        out[k] = arr
+    return out
+
+
+class _SnapshotWriter:
+    """Writes staged flat rows straight into per-key .npy memmaps; the
+    manifest lands LAST (atomic rename) so a crashed build never leaves
+    a snapshot that parses as valid."""
+
+    def __init__(self, snap_dir: str, fingerprint: str, n: int, spec,
+                 meta: Dict):
+        self.dir, self.fingerprint, self.n, self.meta = (
+            snap_dir, fingerprint, n, meta)
+        os.makedirs(snap_dir, exist_ok=True)
+        with contextlib.suppress(OSError):  # invalidate any prior snapshot
+            os.remove(os.path.join(snap_dir, _MANIFEST))
+        self.mm = {
+            k: np.lib.format.open_memmap(
+                os.path.join(snap_dir, k + ".npy"), mode="w+",
+                dtype=np.dtype(dt), shape=(n, flat))
+            for k, (flat, _, dt) in spec.items()
+        }
+
+    def write(self, key: str, start: int, rows: np.ndarray) -> None:
+        self.mm[key][start:start + len(rows)] = rows
+
+    def commit(self) -> None:
+        for m in self.mm.values():
+            m.flush()
+        man = {"version": SNAPSHOT_VERSION, "fingerprint": self.fingerprint,
+               "n": self.n, **self.meta}
+        tmp = os.path.join(self.dir, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=2)
+        os.replace(tmp, os.path.join(self.dir, _MANIFEST))
+
+
+def _fill_cache(loader: BatchLoader, cache, write, spec, n: int, mesh=None):
+    """Fill the device cache from the snapshot (host reads only) or by
+    streaming the split through the host loader (decode + stage), writing
+    the snapshot as a side effect when one is configured.
+
+    Returns (cache, loaded_from_snapshot)."""
+    import jax.numpy as jnp
+
+    snap_dir = getattr(loader, "snapshot_dir", "")
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    fp = ""
+    if snap_dir:
+        fp = index_fingerprint(loader.index, loader.canvas_size,
+                               loader.num_joints, loader.window_frac)
+        mm = _snapshot_load(snap_dir, fp, n, spec)
+        if mm is not None:
+            # ~64 MB upload blocks (row bytes are canvas-dominated)
+            rows = max(1, (64 << 20) // (loader.canvas_size ** 2 * 3))
+            with ctx:
+                for start in range(0, n, rows):
+                    stop = min(n, start + rows)
+                    block = {k: jnp.asarray(np.ascontiguousarray(
+                        mm[k][start:stop])) for k in spec}
+                    cache = write(cache, block, start)
+            return cache, True
+
+    writer = None
+    if snap_dir:
+        writer = _SnapshotWriter(snap_dir, fp, n, spec, meta={
+            "canvas_size": loader.canvas_size,
+            "num_joints": loader.num_joints,
+            "window_frac": loader.window_frac,
+        })
+    # Stream in INDEX ORDER: batch b covers samples [b*bs, b*bs+valid).
+    shuffle_was, epoch_was, drop_was = (
+        loader.shuffle, loader._epoch, loader.drop_last)
+    loader.shuffle = False
+    loader.drop_last = False
+    try:
+        start = 0
+        with ctx:
+            for batch in BatchLoader.__iter__(loader):
+                valid = min(loader.batch_size, n - start)
+                flat = {k: np.ascontiguousarray(
+                    batch[k][:valid]).reshape(valid, spec[k][0])
+                        for k in _CACHED_KEYS}
+                if writer is not None:
+                    for k, v in flat.items():
+                        writer.write(k, start, v)
+                block = {k: jnp.asarray(v) for k, v in flat.items()}
+                cache = write(cache, block, start)
+                start += valid
+        assert start == n, f"cache fill covered {start}/{n} samples"
+        if writer is not None:
+            writer.commit()
+    finally:
+        loader.shuffle, loader._epoch, loader.drop_last = (
+            shuffle_was, epoch_was, drop_was)
+    return cache, False
 
 
 def _flat_shapes(n, cs, num_joints):
@@ -78,8 +240,9 @@ class DeviceCacheLoader(BatchLoader):
     """Drop-in ``BatchLoader`` that builds a device-resident cache on the
     first iteration and gathers batches from it afterwards."""
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, snapshot_dir: str = "", **kwargs):
         super().__init__(*args, **kwargs)
+        self.snapshot_dir = snapshot_dir
         self._cache = None
         self._take = None
 
@@ -106,27 +269,7 @@ class DeviceCacheLoader(BatchLoader):
                 for k in cache
             }
 
-        # Stream the split through the parent loader (native decode pool,
-        # prefetch thread) in INDEX ORDER: batch b covers samples
-        # [b*bs, b*bs+valid).
-        shuffle_was, epoch_was, drop_was = (
-            self.shuffle, self._epoch, self.drop_last)
-        self.shuffle = False
-        self.drop_last = False
-        try:
-            start = 0
-            for batch in BatchLoader.__iter__(self):
-                valid = min(self.batch_size, n - start)
-                block = {k: jnp.asarray(
-                    np.ascontiguousarray(batch[k][:valid]).reshape(
-                        valid, spec[k][0]))
-                         for k in _CACHED_KEYS}
-                cache = write(cache, block, start)
-                start += valid
-            assert start == n, f"cache fill covered {start}/{n} samples"
-        finally:
-            self.shuffle, self._epoch, self.drop_last = (
-                shuffle_was, epoch_was, drop_was)
+        cache, _ = _fill_cache(self, cache, write, spec, n)
 
         @jax.jit
         def take(cache, idx):
@@ -167,8 +310,9 @@ class ShardedDeviceCacheLoader(BatchLoader):
     ``parallel.mesh.shard_batch`` is a no-op on these arrays.
     """
 
-    def __init__(self, index, mesh, **kwargs):
+    def __init__(self, index, mesh, snapshot_dir: str = "", **kwargs):
         super().__init__(index, **kwargs)
+        self.snapshot_dir = snapshot_dir
         axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
         if set(axis_sizes) != {"data"}:
             raise NotImplementedError(
@@ -238,25 +382,7 @@ class ShardedDeviceCacheLoader(BatchLoader):
                 for k in cache
             }
 
-        shuffle_was, epoch_was, drop_was = (
-            self.shuffle, self._epoch, self.drop_last)
-        self.shuffle = False
-        self.drop_last = False
-        try:
-            start = 0
-            with self.mesh:
-                for batch in BatchLoader.__iter__(self):
-                    valid = min(self.batch_size, n - start)
-                    block = {k: jnp.asarray(
-                        np.ascontiguousarray(batch[k][:valid]).reshape(
-                            valid, spec[k][0]))
-                             for k in _CACHED_KEYS}
-                    cache = write(cache, block, start)
-                    start += valid
-            assert start == n, f"cache fill covered {start}/{n}"
-        finally:
-            self.shuffle, self._epoch, self.drop_last = (
-                shuffle_was, epoch_was, drop_was)
+        cache, _ = _fill_cache(self, cache, write, spec, n, mesh=self.mesh)
 
         def local_take(cache, idx):
             b = idx.shape[0]

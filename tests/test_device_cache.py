@@ -65,6 +65,81 @@ def test_cache_built_once(split_dir):
     assert cached._cache is cache_ref  # second epoch reused, not rebuilt
 
 
+class TestSnapshot:
+    """Disk snapshot of the staged rows: refills HBM without touching
+    the image files; stale/partial snapshots rebuild from images."""
+
+    @pytest.fixture()
+    def fresh_split(self, tmp_path):
+        write_synthetic_split(str(tmp_path), "train", 10, image_size=64,
+                              seed=3)
+        ann = os.path.join(str(tmp_path), "annotations", "train")
+        img_dir = os.path.join(str(tmp_path), "train")
+        return ann, img_dir, os.path.join(str(tmp_path), "snap")
+
+    def test_roundtrip_without_images(self, fresh_split):
+        ann, img_dir, snap = fresh_split
+        idx = read_annotations(ann, DEFAULT_NAMES)
+        golden = _epoch(DeviceCacheLoader(idx, **KW))
+        # first build writes the snapshot
+        _epoch(DeviceCacheLoader(idx, snapshot_dir=snap, **KW))
+        assert os.path.exists(os.path.join(snap, "manifest.json"))
+        # images gone: only the snapshot can serve the bytes now
+        os.rename(img_dir, img_dir + ".hidden")
+        from_snap = _epoch(DeviceCacheLoader(idx, snapshot_dir=snap, **KW))
+        assert len(golden) == len(from_snap)
+        for b_g, b_s in zip(golden, from_snap):
+            for k in b_g:
+                np.testing.assert_array_equal(b_g[k], b_s[k], err_msg=k)
+
+    def test_stale_snapshot_rebuilds(self, fresh_split):
+        ann, _, snap = fresh_split
+        idx = read_annotations(ann, DEFAULT_NAMES)
+        _epoch(DeviceCacheLoader(idx, snapshot_dir=snap, **KW))
+        # annotation content changed -> fingerprint mismatch -> rebuild
+        idx.samples[0].landmark = [[0.5, 0.5]] * len(
+            idx.samples[0].landmark)
+        with pytest.warns(RuntimeWarning, match="stale"):
+            batches = _epoch(DeviceCacheLoader(idx, snapshot_dir=snap, **KW))
+        assert batches  # rebuilt from images without error
+        # ... and the rewritten snapshot now matches the NEW index
+        from hgr_tpu.data.device_cache import (
+            _flat_shapes, _snapshot_load, index_fingerprint)
+
+        fp = index_fingerprint(idx, KW["canvas_size"], 21, 0.75)
+        spec = _flat_shapes(len(idx), KW["canvas_size"], 21)
+        assert _snapshot_load(snap, fp, len(idx), spec) is not None
+
+    def test_partial_snapshot_falls_back(self, fresh_split):
+        ann, _, snap = fresh_split
+        idx = read_annotations(ann, DEFAULT_NAMES)
+        _epoch(DeviceCacheLoader(idx, snapshot_dir=snap, **KW))
+        os.remove(os.path.join(snap, "manifest.json"))  # crashed build
+        batches = _epoch(DeviceCacheLoader(idx, snapshot_dir=snap, **KW))
+        assert batches
+        assert os.path.exists(os.path.join(snap, "manifest.json"))
+
+    def test_sharded_loads_single_device_snapshot(self, fresh_split):
+        """The snapshot format is loader-agnostic: rows staged by the
+        single-device build refill a SHARDED cache too."""
+        from hgr_tpu.data.device_cache import ShardedDeviceCacheLoader
+        from hgr_tpu.parallel.mesh import make_mesh
+
+        ann, img_dir, snap = fresh_split
+        idx = read_annotations(ann, DEFAULT_NAMES)
+        skw = dict(batch_size=8, canvas_size=96, shuffle=True, seed=5,
+                   drop_last=False, num_workers=1)
+        golden = _epoch(ShardedDeviceCacheLoader(
+            idx, make_mesh({"data": 4}), **skw))
+        _epoch(DeviceCacheLoader(idx, snapshot_dir=snap, **KW))
+        os.rename(img_dir, img_dir + ".hidden")
+        from_snap = _epoch(ShardedDeviceCacheLoader(
+            idx, make_mesh({"data": 4}), snapshot_dir=snap, **skw))
+        for b_g, b_s in zip(golden, from_snap):
+            for k in b_g:
+                np.testing.assert_array_equal(b_g[k], b_s[k], err_msg=k)
+
+
 class TestSharded:
     """ShardedDeviceCacheLoader on the virtual 8-device CPU mesh."""
 
