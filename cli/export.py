@@ -29,6 +29,14 @@ def main():
     parser.add_argument('--batch', type=int, default=1)
     parser.add_argument('--skip_eval', action='store_true')
     parser.add_argument('--canvas_size', type=int, default=256)
+    parser.add_argument('--format', choices=['stablehlo', 'onnx'],
+                        default='stablehlo',
+                        help='artifact format: stablehlo (native; eval '
+                             'runs through the deserialized artifact) or '
+                             'onnx (reference-compatible 2-output file '
+                             'via torch.onnx.export, reference '
+                             'export.py:72-78; eval runs through the '
+                             'traced torch mirror — no onnxruntime here)')
     args = parser.parse_args()
 
     from hgr_tpu.config import load_data_config
@@ -50,6 +58,45 @@ def main():
     image_size = (args.image_size[0], args.image_size[1])
     variables = load_classifier_weights(args.weight_path, image_size)
     model = MultiTaskNet(image_size=image_size)
+
+    if args.format == 'onnx':
+        import numpy as np
+
+        from hgr_tpu.infer.onnx_export import TorchMirror, export_onnx
+
+        out = args.out or (args.weight_path.rstrip('/') + '.onnx')
+        export_onnx(
+            variables, out,
+            num_joints=data_cfg.num_joints,
+            num_classes=data_cfg.num_classes,
+            image_size=image_size, batch=args.batch)
+        print(f"exported ONNX artifact -> {out}")
+        if not args.skip_eval:
+            import torch
+
+            mirror = TorchMirror(
+                variables, num_joints=data_cfg.num_joints,
+                num_classes=data_cfg.num_classes, image_size=image_size)
+
+            def fn(images):
+                x = np.asarray(images).transpose(0, 3, 1, 2)
+                with torch.no_grad():
+                    logits, hmap = mirror(torch.from_numpy(x))
+                return np.asarray(logits), np.asarray(hmap)
+
+            idx = read_annotations(
+                os.path.join(data_cfg.path, data_cfg.test), data_cfg.names)
+            loader = BatchLoader(
+                idx, batch_size=args.batch, canvas_size=args.canvas_size,
+                num_joints=data_cfg.num_joints, shuffle=False,
+                drop_last=False, num_workers=4)
+            print("Testing the traced torch mirror on the test split "
+                  "(the module torch.onnx.export serialized; no "
+                  "onnxruntime in this environment)...")
+            res = eval_exported(fn, loader, data_cfg.num_classes,
+                                image_size=image_size)
+            print("Test F1 Score: {:.4f}".format(res["test_f1"]))
+        return
 
     out = args.out or (args.weight_path.rstrip('/') + '.stablehlo')
     export_stablehlo(model, variables, out, batch=args.batch)
