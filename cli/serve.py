@@ -6,12 +6,20 @@ frame-serial detect.py script). Endpoints:
   POST /classify   body = .npy bytes of a (H, W, 3) uint8 BGR crop at
                    the model image size; response = JSON
                    {label, label_name, probs, landmarks}
-  GET  /stats      serving metrics (latency percentiles, batch sizes)
+  POST /detect     (with --det_weight) body = .npy bytes of a uint8 BGR
+                   FULL FRAME at --frame_hw; runs the fused
+                   detect->crop->classify graph (infer/detect.py);
+                   response = JSON {detection: {label, label_name,
+                   score, box, landmarks} | null} (null = the score
+                   gate failed, reference detect.py:140)
+  GET  /stats      serving metrics (latency percentiles, batch sizes;
+                   a "detect" sub-object when /detect is enabled)
   GET  /healthz    liveness
 
 Usage:
   python cli/serve.py --ckpt runs/exp/ckpt_best --data configs/hagrid.yaml \
-      [--quantize calib.npy] [--port 8000] [--max_batch 64] [--max_wait_ms 5]
+      [--quantize calib.npy] [--det_weight det.npz --frame_hw 360 640] \
+      [--port 8000] [--max_batch 64] [--max_wait_ms 5]
 
 ``--quantize`` takes a .npy/.npz of calibration crops (N, H, W, 3)
 uint8; the GELAN backbone then serves int8 (infer/quant.py).
@@ -69,7 +77,33 @@ def build_service(args):
     return service
 
 
-def make_handler(service):
+def build_detector_service(args):
+    """Full-frame service around the fused detect->crop->classify graph
+    (one compiled geometry per instance, serve/engine.py)."""
+    import jax.numpy as jnp
+
+    from hgr_tpu.config import load_data_config
+    from hgr_tpu.infer.detect import HandGesturePipeline
+    from hgr_tpu.infer.weights import (
+        load_classifier_weights,
+        load_detector_weights,
+    )
+    from hgr_tpu.serve import DetectorService
+
+    data_cfg = load_data_config(args.data)
+    pipeline = HandGesturePipeline(
+        load_classifier_weights(args.ckpt),
+        load_detector_weights(args.det_weight),
+        data_cfg.names,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    service = DetectorService(
+        pipeline, frame_hw=tuple(args.frame_hw),
+        max_batch=args.det_max_batch, max_wait_ms=args.max_wait_ms)
+    service.warm()
+    return service
+
+
+def make_handler(service, detector=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet per-request stderr lines
             pass
@@ -86,26 +120,46 @@ def make_handler(service):
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
             elif self.path == "/stats":
-                self._send(200, service.metrics.snapshot())
+                stats = service.metrics.snapshot()
+                if detector is not None:
+                    stats["detect"] = detector.metrics.snapshot()
+                self._send(200, stats)
             else:
                 self._send(404, {"error": "unknown path"})
 
+        def _read_npy(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            return np.load(io.BytesIO(self.rfile.read(length)),
+                           allow_pickle=False)
+
         def do_POST(self):
-            if self.path != "/classify":
-                self._send(404, {"error": "unknown path"})
-                return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                crop = np.load(io.BytesIO(self.rfile.read(length)),
-                               allow_pickle=False)
-                result = service.classify(crop.astype(np.uint8),
-                                          timeout=30.0)
-                self._send(200, {
-                    "label": result["label"],
-                    "label_name": result["label_name"],
-                    "probs": np.asarray(result["probs"]).tolist(),
-                    "landmarks": np.asarray(result["landmarks"]).tolist(),
-                })
+                if self.path == "/classify":
+                    result = service.classify(
+                        self._read_npy().astype(np.uint8), timeout=30.0)
+                    self._send(200, {
+                        "label": result["label"],
+                        "label_name": result["label_name"],
+                        "probs": np.asarray(result["probs"]).tolist(),
+                        "landmarks": np.asarray(
+                            result["landmarks"]).tolist(),
+                    })
+                elif self.path == "/detect" and detector is not None:
+                    result = detector.detect(
+                        self._read_npy().astype(np.uint8), timeout=30.0)
+                    if result is None:
+                        self._send(200, {"detection": None})
+                    else:
+                        self._send(200, {"detection": {
+                            "label": result["label"],
+                            "label_name": result["label_name"],
+                            "score": result["score"],
+                            "box": np.asarray(result["box"]).tolist(),
+                            "landmarks": np.asarray(
+                                result["landmarks"]).tolist(),
+                        }})
+                else:
+                    self._send(404, {"error": "unknown path"})
             except ValueError as exc:
                 self._send(400, {"error": str(exc)})
             except Exception as exc:  # noqa: BLE001 — report, don't crash
@@ -114,10 +168,12 @@ def make_handler(service):
     return Handler
 
 
-def serve_forever(service, host: str, port: int):
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+def serve_forever(service, host: str, port: int, detector=None):
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(service, detector))
+    eps = "POST /classify" + (", POST /detect" if detector else "")
     print(f"serving on http://{host}:{httpd.server_address[1]}  "
-          f"(POST /classify, GET /stats)")
+          f"({eps}, GET /stats)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -125,6 +181,8 @@ def serve_forever(service, host: str, port: int):
     finally:
         httpd.shutdown()
         service.stop()
+        if detector is not None:
+            detector.stop()
     return httpd
 
 
@@ -137,13 +195,22 @@ def main(argv=None):
     ap.add_argument("--quantize", default=None,
                     help=".npy/.npz of uint8 calibration crops -> int8 "
                          "backbone")
+    ap.add_argument("--det_weight", default=None,
+                    help="detector weights (.npz / reference .onnx) — "
+                         "enables POST /detect for full frames")
+    ap.add_argument("--frame_hw", nargs=2, type=int, default=[360, 640],
+                    help="full-frame geometry for /detect (one compiled "
+                         "geometry per server, serve/engine.py)")
+    ap.add_argument("--det_max_batch", type=int, default=16)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=64)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     args = ap.parse_args(argv)
     service = build_service(args)
-    serve_forever(service, args.host, args.port)
+    detector = (build_detector_service(args)
+                if args.det_weight is not None else None)
+    serve_forever(service, args.host, args.port, detector)
 
 
 if __name__ == "__main__":

@@ -244,3 +244,66 @@ def test_http_server_end_to_end(tiny_service):
     finally:
         httpd.shutdown()
         thread.join(timeout=5.0)
+
+
+def test_http_detect_endpoint(tiny_service):
+    """POST /detect runs the fused full-frame graph behind the batcher;
+    /stats grows a 'detect' sub-object (cli/serve.py)."""
+    import jax.numpy as jnp
+
+    from cli.serve import make_handler
+    from hgr_tpu.config import DEFAULT_NAMES
+    from hgr_tpu.infer.detect import HandGesturePipeline
+    from hgr_tpu.infer.weights import (
+        load_classifier_weights,
+        load_detector_weights,
+    )
+    from hgr_tpu.serve import DetectorService
+    from http.server import ThreadingHTTPServer
+
+    pipe = HandGesturePipeline(
+        load_classifier_weights("", image_size=(64, 64)),
+        load_detector_weights("", det_img_size=160),
+        DEFAULT_NAMES, det_img_size=160, cls_img_size=(64, 64),
+        score_thresh=-1.0, dtype=jnp.float32)
+    det = DetectorService(pipe, frame_hw=(180, 320), max_batch=2,
+                          max_wait_ms=10.0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(tiny_service, det))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        frame = np.random.RandomState(4).randint(
+            0, 255, (180, 320, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, frame)
+        req = urllib.request.Request(f"{base}/detect", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.loads(r.read())
+        d = body["detection"]
+        assert d is not None  # score_thresh=-1 always passes the gate
+        assert 0 <= d["label"] < 19 and len(d["box"]) == 4
+        assert len(d["landmarks"]) == 21
+        # HTTP path agrees with the direct fused graph
+        direct = pipe.infer_frames(frame[None])[0]
+        assert d["label"] == direct["label"]
+        assert d["box"] == np.asarray(direct["box"]).tolist()
+
+        # wrong geometry -> 400 (DetectorService shape gate)
+        small = io.BytesIO()
+        np.save(small, np.zeros((64, 64, 3), np.uint8))
+        bad = urllib.request.Request(
+            f"{base}/detect", data=small.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["detect"]["requests"] >= 1
+    finally:
+        httpd.shutdown()
+        thread.join(timeout=5.0)
+        det.stop()
