@@ -62,10 +62,10 @@ def main():
     if args.format == 'onnx':
         import numpy as np
 
-        from hgr_tpu.infer.onnx_export import TorchMirror, export_onnx
+        from hgr_tpu.infer.onnx_export import export_onnx
 
         out = args.out or (args.weight_path.rstrip('/') + '.onnx')
-        export_onnx(
+        mirror = export_onnx(
             variables, out,
             num_joints=data_cfg.num_joints,
             num_classes=data_cfg.num_classes,
@@ -73,10 +73,6 @@ def main():
         print(f"exported ONNX artifact -> {out}")
         if not args.skip_eval:
             import torch
-
-            mirror = TorchMirror(
-                variables, num_joints=data_cfg.num_joints,
-                num_classes=data_cfg.num_classes, image_size=image_size)
 
             def fn(images):
                 x = np.asarray(images).transpose(0, 3, 1, 2)

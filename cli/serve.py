@@ -74,25 +74,25 @@ def build_service(args):
         model, variables, class_names=data_cfg.names,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
     service.warm()
-    return service
+    return service, variables
 
 
-def build_detector_service(args):
+def build_detector_service(args, cls_variables):
     """Full-frame service around the fused detect->crop->classify graph
-    (one compiled geometry per instance, serve/engine.py)."""
+    (one compiled geometry per instance, serve/engine.py). Reuses the
+    classifier variables build_service already loaded — including the
+    int8 'quant' collection under --quantize, so /detect serves the
+    same quantized backbone as /classify."""
     import jax.numpy as jnp
 
     from hgr_tpu.config import load_data_config
     from hgr_tpu.infer.detect import HandGesturePipeline
-    from hgr_tpu.infer.weights import (
-        load_classifier_weights,
-        load_detector_weights,
-    )
+    from hgr_tpu.infer.weights import load_detector_weights
     from hgr_tpu.serve import DetectorService
 
     data_cfg = load_data_config(args.data)
     pipeline = HandGesturePipeline(
-        load_classifier_weights(args.ckpt),
+        cls_variables,
         load_detector_weights(args.det_weight),
         data_cfg.names,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
@@ -160,7 +160,9 @@ def make_handler(service, detector=None):
                         }})
                 else:
                     self._send(404, {"error": "unknown path"})
-            except ValueError as exc:
+            except (ValueError, EOFError) as exc:
+                # EOFError: np.load on an empty/truncated body — client
+                # input errors, not server faults
                 self._send(400, {"error": str(exc)})
             except Exception as exc:  # noqa: BLE001 — report, don't crash
                 self._send(500, {"error": str(exc)})
@@ -207,8 +209,8 @@ def main(argv=None):
     ap.add_argument("--max_batch", type=int, default=64)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     args = ap.parse_args(argv)
-    service = build_service(args)
-    detector = (build_detector_service(args)
+    service, cls_variables = build_service(args)
+    detector = (build_detector_service(args, cls_variables)
                 if args.det_weight is not None else None)
     serve_forever(service, args.host, args.port, detector)
 

@@ -193,9 +193,16 @@ def main():
         if cache and args.device_cache:
             snap = ''
             if args.cache_snapshot:
+                # key by basename + a hash of the absolute split path so
+                # different datasets sharing one snapshot root (every
+                # extracted split is named 'train'/'val') don't collide
+                # on the same subdir and thrash each other's snapshots
+                import hashlib
+                abspath = os.path.abspath(os.path.normpath(split_dir))
                 snap = os.path.join(
                     args.cache_snapshot,
-                    os.path.basename(os.path.normpath(split_dir)))
+                    os.path.basename(abspath) + '-'
+                    + hashlib.sha256(abspath.encode()).hexdigest()[:8])
             if mesh is not None:
                 from hgr_tpu.data.device_cache import (
                     ShardedDeviceCacheLoader,

@@ -37,13 +37,21 @@ masks, consumed by the loss/metrics masking like the streaming tail).
 
 Disk snapshot: pass ``snapshot_dir`` (CLI ``--cache_snapshot``) and the
 first build also persists the staged flat rows as per-key ``.npy``
-memmaps plus a manifest keyed by a fingerprint of (annotations, labels,
-staging params). Later runs — a ``--resume``, a second recipe on the
-same split — fill HBM straight from the memmaps, skipping JPEG decode
-and canvas staging entirely (the expensive host half of the 100k
-rehearsal's 906 s restart, BENCH_LOG). A stale or partial snapshot
-(changed dataset, crashed build — the manifest is written last) falls
-back to streaming and rewrites itself.
+memmaps plus a manifest keyed by fingerprints of (annotations, labels,
+staging params, image byte sizes). Later runs — a ``--resume``, a
+second recipe on the same split — fill HBM straight from the memmaps,
+skipping JPEG decode and canvas staging entirely. Whether that is a
+WIN depends on the host's decode-rate-vs-disk-read balance: with the
+C++ staging pool on this sandbox's slow virtual disk the snapshot
+refill measured SLOWER than re-decoding (BENCH_LOG 'Device-cache
+snapshot at scale' — decode+stage is 8 s per 25.6k images here while
+the cold disk read of 2 GB costs ~4 min), so reach for it on hosts
+where decode dominates: the cv2/PIL fallback decode path, NVMe/page-
+cache-warm storage, or a split whose image files were archived away
+(the snapshot alone can then serve the split). A stale or partial
+snapshot (changed dataset/bytes, crashed build — data files then the
+manifest commit by atomic rename) falls back to streaming and rewrites
+itself.
 
 No reference counterpart: the torch pipeline re-decodes JPEGs in worker
 processes every epoch (reference libs/load.py:280-305).
@@ -76,10 +84,10 @@ def index_fingerprint(index, canvas_size: int, num_joints: int,
 
     Staging is deterministic per sample (pipeline.stage_image), so the
     staged rows are a pure function of (image files, landmarks, labels,
-    staging params). Hash the annotation content + params; image paths
-    stand in for pixel content (re-encoding an image in place without
-    renaming it defeats this, like any mtime-free cache key — the
-    HaGRID extraction flow never does that)."""
+    staging params). This hashes the annotation content + params; pixel
+    content is covered separately by ``sizes_fingerprint`` (file byte
+    sizes), so a snapshot can still serve a split whose image files
+    were archived away."""
     h = hashlib.sha256()
     h.update(f"v{SNAPSHOT_VERSION}|{canvas_size}|{num_joints}|"
              f"{window_frac:.6f}|{len(index)}".encode())
@@ -92,7 +100,28 @@ def index_fingerprint(index, canvas_size: int, num_joints: int,
     return h.hexdigest()
 
 
-def _snapshot_load(snap_dir: str, fingerprint: str, n: int, spec
+def sizes_fingerprint(index):
+    """(hexdigest over per-file byte sizes, number of unreadable files).
+
+    A dataset regenerated in place — new pixels, same filenames and
+    annotations — almost always changes JPEG sizes, which this catches
+    (only a same-size in-place re-encode escapes, like any
+    content-hash-free cache key). When EVERY file is missing the split
+    exists only as its snapshot; the loader then serves it on the
+    annotation fingerprint alone."""
+    h = hashlib.sha256()
+    missing = 0
+    for s in index.samples:
+        try:
+            h.update(str(os.path.getsize(s.image_path)).encode())
+        except OSError:
+            missing += 1
+            h.update(b"?")
+        h.update(b"|")
+    return h.hexdigest(), missing
+
+
+def _snapshot_load(snap_dir: str, fingerprint: str, index, n: int, spec
                    ) -> Optional[Dict[str, np.ndarray]]:
     """Memory-mapped snapshot rows, or None when absent/stale/corrupt."""
     try:
@@ -100,9 +129,16 @@ def _snapshot_load(snap_dir: str, fingerprint: str, n: int, spec
             man = json.load(f)
     except (OSError, ValueError):
         return None
-    if (man.get("version") != SNAPSHOT_VERSION
-            or man.get("n") != n
-            or man.get("fingerprint") != fingerprint):
+    stale = (man.get("version") != SNAPSHOT_VERSION
+             or man.get("n") != n
+             or man.get("fingerprint") != fingerprint)
+    if not stale and "sizes_fingerprint" in man:
+        sizes_fp, missing = sizes_fingerprint(index)
+        # image bytes changed under unchanged annotations -> stale;
+        # but a fully-archived split (every file gone) is served from
+        # the snapshot on the annotation fingerprint alone
+        stale = sizes_fp != man["sizes_fingerprint"] and missing < n
+    if stale:
         warnings.warn(
             f"device-cache snapshot at {snap_dir} is stale (dataset or "
             "staging params changed); rebuilding from images",
@@ -121,9 +157,11 @@ def _snapshot_load(snap_dir: str, fingerprint: str, n: int, spec
 
 
 class _SnapshotWriter:
-    """Writes staged flat rows straight into per-key .npy memmaps; the
-    manifest lands LAST (atomic rename) so a crashed build never leaves
-    a snapshot that parses as valid."""
+    """Writes staged flat rows into per-key ``.npy.tmp`` memmaps, then
+    commits by atomic rename — data files first, manifest LAST. A
+    crashed build never leaves a snapshot that parses as valid, and a
+    rebuild never truncates files a concurrent reader already mmap'd
+    (the reader's old inodes stay alive until its maps close)."""
 
     def __init__(self, snap_dir: str, fingerprint: str, n: int, spec,
                  meta: Dict):
@@ -134,7 +172,7 @@ class _SnapshotWriter:
             os.remove(os.path.join(snap_dir, _MANIFEST))
         self.mm = {
             k: np.lib.format.open_memmap(
-                os.path.join(snap_dir, k + ".npy"), mode="w+",
+                os.path.join(snap_dir, k + ".npy.tmp"), mode="w+",
                 dtype=np.dtype(dt), shape=(n, flat))
             for k, (flat, _, dt) in spec.items()
         }
@@ -143,8 +181,10 @@ class _SnapshotWriter:
         self.mm[key][start:start + len(rows)] = rows
 
     def commit(self) -> None:
-        for m in self.mm.values():
+        for k, m in self.mm.items():
             m.flush()
+            os.replace(os.path.join(self.dir, k + ".npy.tmp"),
+                       os.path.join(self.dir, k + ".npy"))
         man = {"version": SNAPSHOT_VERSION, "fingerprint": self.fingerprint,
                "n": self.n, **self.meta}
         tmp = os.path.join(self.dir, _MANIFEST + ".tmp")
@@ -167,7 +207,7 @@ def _fill_cache(loader: BatchLoader, cache, write, spec, n: int, mesh=None):
     if snap_dir:
         fp = index_fingerprint(loader.index, loader.canvas_size,
                                loader.num_joints, loader.window_frac)
-        mm = _snapshot_load(snap_dir, fp, n, spec)
+        mm = _snapshot_load(snap_dir, fp, loader.index, n, spec)
         if mm is not None:
             # ~64 MB upload blocks (row bytes are canvas-dominated)
             rows = max(1, (64 << 20) // (loader.canvas_size ** 2 * 3))
@@ -182,6 +222,7 @@ def _fill_cache(loader: BatchLoader, cache, write, spec, n: int, mesh=None):
     writer = None
     if snap_dir:
         writer = _SnapshotWriter(snap_dir, fp, n, spec, meta={
+            "sizes_fingerprint": sizes_fingerprint(loader.index)[0],
             "canvas_size": loader.canvas_size,
             "num_joints": loader.num_joints,
             "window_frac": loader.window_frac,

@@ -82,6 +82,16 @@ class TorchMirror:
 
         self.p = _to_torch_tree(variables["params"])
         self.s = _to_torch_tree(variables["batch_stats"])
+        # output dims come from the weight shapes; reject a
+        # config/checkpoint mismatch instead of silently exporting the
+        # weights' dims under the caller's labels
+        got_classes = self.p["decoder"]["mlp_head_fc"]["kernel"].shape[0]
+        got_joints = self.p["decoder"]["simple_decoder_conv"][
+            "kernel"].shape[0]
+        if (got_classes, got_joints) != (num_classes, num_joints):
+            raise ValueError(
+                f"checkpoint has {got_classes} classes / {got_joints} "
+                f"joints but the config says {num_classes} / {num_joints}")
         self.num_joints = num_joints
         self.num_classes = num_classes
         self.backbone = backbone
@@ -279,9 +289,11 @@ def export_onnx(
     backbone: str = "small",
     batch: int = 1,
     opset: int = 13,
-) -> None:
+) -> TorchMirror:
     """Write the reference-signature .onnx artifact (export.py:72-78:
-    static (batch, 3, H, W) input, outputs label_pred + heatmap_pred)."""
+    static (batch, 3, H, W) input, outputs label_pred + heatmap_pred).
+    Returns the traced mirror so callers can eval through it without a
+    second weight-tree conversion."""
     import torch
 
     mirror = TorchMirror(
@@ -302,3 +314,4 @@ def export_onnx(
             )
     finally:
         undo_stub()
+    return mirror

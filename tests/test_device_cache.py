@@ -108,7 +108,22 @@ class TestSnapshot:
 
         fp = index_fingerprint(idx, KW["canvas_size"], 21, 0.75)
         spec = _flat_shapes(len(idx), KW["canvas_size"], 21)
-        assert _snapshot_load(snap, fp, len(idx), spec) is not None
+        assert _snapshot_load(snap, fp, idx, len(idx), spec) is not None
+
+    def test_regenerated_images_invalidate_snapshot(self, fresh_split):
+        """Same filenames + annotations but different pixel bytes (an
+        in-place dataset regeneration) must not serve stale rows: the
+        manifest's sizes_fingerprint catches the changed byte sizes."""
+        ann, img_dir, snap = fresh_split
+        idx = read_annotations(ann, DEFAULT_NAMES)
+        _epoch(DeviceCacheLoader(idx, snapshot_dir=snap, **KW))
+        victim = os.path.join(
+            img_dir, sorted(os.listdir(img_dir))[0])
+        with open(victim, "ab") as f:  # still a valid JPEG, new size
+            f.write(b"\x00" * 16)
+        with pytest.warns(RuntimeWarning, match="stale"):
+            batches = _epoch(DeviceCacheLoader(idx, snapshot_dir=snap, **KW))
+        assert batches
 
     def test_partial_snapshot_falls_back(self, fresh_split):
         ann, _, snap = fresh_split

@@ -307,28 +307,10 @@ def torch_exported(tmp_path_factory):
     exporter's custom-onnxscript-function scan (inapplicable: the graph
     has no custom-domain ops; the scan returns the bytes unchanged) —
     the serialized file is produced entirely by torch's exporter."""
-    import sys as _sys
-    import types
-
-    stubbed = False
-    if "onnx" not in _sys.modules:
-        try:
-            import onnx  # noqa: F401
-        except ImportError:
-            stub = types.ModuleType("onnx")
-
-            class _G:
-                node = ()
-
-            class _M:
-                graph = _G()
-                functions = []
-
-            stub.load_model_from_string = lambda b: _M()
-            _sys.modules["onnx"] = stub
-            stubbed = True
-
+    from hgr_tpu.infer.onnx_export import _ensure_onnx_stub
     from hgr_tpu.utils.onnx_port import port_yolov7_tiny_onnx
+
+    undo_stub = _ensure_onnx_stub()
 
     try:
         tm = TorchYoloV7Tiny(num_classes=1, seed=11)
@@ -348,8 +330,7 @@ def torch_exported(tmp_path_factory):
         variables = port_yolov7_tiny_onnx(path)
         yield tm, fused, path, variables
     finally:
-        if stubbed:
-            _sys.modules.pop("onnx", None)
+        undo_stub()
 
 
 def test_torch_export_fused_module_matches_oracle(torch_exported):
