@@ -3,15 +3,17 @@
 Beyond-reference capability (the reference's inference surface is the
 frame-serial detect.py script). Endpoints:
 
-  POST /classify   body = .npy bytes of a (H, W, 3) uint8 BGR crop at
-                   the model image size; response = JSON
+  POST /classify   body = a JPEG (sniffed by magic bytes; decoded by the
+                   first-party native decoder, cv2 fallback) or .npy
+                   bytes of a (H, W, 3) uint8 BGR crop; resized host-side
+                   to the model image size when needed; response = JSON
                    {label, label_name, probs, landmarks}
-  POST /detect     (with --det_weight) body = .npy bytes of a uint8 BGR
-                   FULL FRAME at --frame_hw; runs the fused
-                   detect->crop->classify graph (infer/detect.py);
-                   response = JSON {detection: {label, label_name,
-                   score, box, landmarks} | null} (null = the score
-                   gate failed, reference detect.py:140)
+  POST /detect     (with --det_weight) body = a JPEG or .npy of a uint8
+                   BGR FULL FRAME (resized to --frame_hw when needed);
+                   runs the fused detect->crop->classify graph
+                   (infer/detect.py); response = JSON {detection:
+                   {label, label_name, score, box, landmarks} | null}
+                   (null = the score gate failed, reference detect.py:140)
   GET  /stats      serving metrics (latency percentiles, batch sizes;
                    a "detect" sub-object when /detect is enabled)
   GET  /healthz    liveness
@@ -38,6 +40,38 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _decode_jpeg(body: bytes) -> np.ndarray:
+    """JPEG bytes -> BGR uint8 via the native runtime, cv2 fallback."""
+    from hgr_tpu.data import native
+
+    img = native.decode_jpeg_bgr_bytes(body)
+    if img is not None:
+        return img
+    try:
+        import cv2
+    except ImportError as exc:
+        raise ValueError(
+            "JPEG body but neither the native decoder nor cv2 is "
+            "available") from exc
+    img = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("undecodable JPEG body")
+    return img
+
+
+def _resize_host(img: np.ndarray, target_hw) -> np.ndarray:
+    """Host-side INTER_LINEAR resize to the server's compiled geometry."""
+    try:
+        import cv2
+    except ImportError as exc:
+        raise ValueError(
+            f"image is {img.shape[:2]} but this server is compiled for "
+            f"{tuple(target_hw)} and cv2 is unavailable for host resize; "
+            "send the exact geometry") from exc
+    h, w = target_hw
+    return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
 
 
 def build_service(args):
@@ -127,16 +161,35 @@ def make_handler(service, detector=None):
             else:
                 self._send(404, {"error": "unknown path"})
 
-        def _read_npy(self):
+        def _read_image(self, target_hw):
+            """Read the request body as a (H, W, 3) uint8 BGR image.
+
+            JPEG bodies (sniffed by the FF D8 FF magic) decode through
+            the native libjpeg runtime (data/native.py) with a cv2
+            fallback; anything else is treated as .npy. Images whose
+            geometry differs from ``target_hw`` are resized host-side
+            (INTER_LINEAR) — the device graphs are compiled for one
+            geometry per server.
+            """
             length = int(self.headers.get("Content-Length", "0"))
-            return np.load(io.BytesIO(self.rfile.read(length)),
-                           allow_pickle=False)
+            body = self.rfile.read(length)
+            if body[:3] == b"\xff\xd8\xff":
+                img = _decode_jpeg(body)
+            else:
+                img = np.load(io.BytesIO(body), allow_pickle=False)
+            img = np.asarray(img)
+            if img.ndim != 3 or img.shape[-1] != 3:
+                raise ValueError(
+                    f"expected (H, W, 3) image, got shape {img.shape}")
+            if tuple(img.shape[:2]) != tuple(target_hw):
+                img = _resize_host(img.astype(np.uint8), target_hw)
+            return img.astype(np.uint8)
 
         def do_POST(self):
             try:
                 if self.path == "/classify":
                     result = service.classify(
-                        self._read_npy().astype(np.uint8), timeout=30.0)
+                        self._read_image(service.image_size), timeout=30.0)
                     self._send(200, {
                         "label": result["label"],
                         "label_name": result["label_name"],
@@ -146,7 +199,7 @@ def make_handler(service, detector=None):
                     })
                 elif self.path == "/detect" and detector is not None:
                     result = detector.detect(
-                        self._read_npy().astype(np.uint8), timeout=30.0)
+                        self._read_image(detector.frame_hw), timeout=30.0)
                     if result is None:
                         self._send(200, {"detection": None})
                     else:

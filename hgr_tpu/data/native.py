@@ -71,7 +71,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "hgr_stage_batch2"):
+        if not hasattr(lib, "hgr_decode_jpeg_mem"):  # newest ABI symbol
             # Stale .so from an older ABI — rebuild once. dlopen dedupes
             # by pathname while the stale handle is alive, so re-CDLL of
             # _LIB_PATH would return the OLD image; load the fresh build
@@ -80,13 +80,18 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
             _build_attempted = True
             lib = _load_unique_copy()
-            if lib is None or not hasattr(lib, "hgr_stage_batch2"):
+            if lib is None or not hasattr(lib, "hgr_decode_jpeg_mem"):
                 return None
         lib.hgr_decode_jpeg.restype = ctypes.c_int
         lib.hgr_decode_jpeg.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int)]
+        lib.hgr_decode_jpeg_mem.restype = ctypes.c_int
+        lib.hgr_decode_jpeg_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.hgr_stage_batch2.restype = ctypes.c_int
         lib.hgr_stage_batch2.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -123,6 +128,30 @@ def decode_jpeg_bgr(path: str) -> Optional[np.ndarray]:
     rc = lib.hgr_decode_jpeg(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         cap, ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def decode_jpeg_bgr_bytes(data: bytes) -> Optional[np.ndarray]:
+    """Decode an in-memory JPEG (e.g. an HTTP body) to BGR uint8
+    (H, W, 3); None on failure or when the library is unavailable.
+    Callers needing a pure-python fallback should try cv2.imdecode."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = _MAX_SIDE * _MAX_SIDE * 3
+    buf = getattr(_decode_tls, "buf", None)
+    if buf is None:
+        buf = np.empty((cap,), np.uint8)
+        _decode_tls.buf = buf
+    src = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.hgr_decode_jpeg_mem(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.byref(w), ctypes.byref(h))
     if rc != 0:
         return None
     return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()

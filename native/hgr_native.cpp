@@ -41,27 +41,27 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Decode a JPEG file into a BGR uint8 buffer. Returns true on success.
-bool DecodeJpegFile(const char* path, std::vector<uint8_t>* out, int* width,
-                    int* height) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return false;
-
+// Decode a JPEG (from an open file or an in-memory buffer — exactly one
+// source is non-null) into a BGR uint8 buffer. Returns true on success.
+bool DecodeJpeg(FILE* f, const uint8_t* mem, size_t mem_len,
+                std::vector<uint8_t>* out, int* width, int* height) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return false;
   }
 
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  if (f != nullptr) {
+    jpeg_stdio_src(&cinfo, f);
+  } else {
+    jpeg_mem_src(&cinfo, mem, mem_len);
+  }
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return false;
   }
   cinfo.out_color_space = JCS_EXT_BGR;  // BGR directly (libjpeg-turbo ext)
@@ -78,10 +78,18 @@ bool DecodeJpegFile(const char* path, std::vector<uint8_t>* out, int* width,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(f);
   *width = w;
   *height = h;
   return ch == 3;
+}
+
+bool DecodeJpegFile(const char* path, std::vector<uint8_t>* out, int* width,
+                    int* height) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  bool ok = DecodeJpeg(f, nullptr, 0, out, width, height);
+  fclose(f);
+  return ok;
 }
 
 // Bilinear resize (half-pixel centers, matching cv2.INTER_LINEAR) of a
@@ -234,6 +242,21 @@ int hgr_decode_jpeg(const char* path, uint8_t* out, int64_t cap, int* width,
   std::vector<uint8_t> buf;
   int w = 0, h = 0;
   if (!DecodeJpegFile(path, &buf, &w, &h)) return 1;
+  if (static_cast<int64_t>(buf.size()) > cap) return 2;
+  std::memcpy(out, buf.data(), buf.size());
+  *width = w;
+  *height = h;
+  return 0;
+}
+
+// Decode one in-memory JPEG (e.g. an HTTP request body) into the caller
+// buffer (cap bytes). Same contract as hgr_decode_jpeg otherwise.
+int hgr_decode_jpeg_mem(const uint8_t* data, int64_t len, uint8_t* out,
+                        int64_t cap, int* width, int* height) {
+  std::vector<uint8_t> buf;
+  int w = 0, h = 0;
+  if (!DecodeJpeg(nullptr, data, static_cast<size_t>(len), &buf, &w, &h))
+    return 1;
   if (static_cast<int64_t>(buf.size()) > cap) return 2;
   std::memcpy(out, buf.data(), buf.size());
   *width = w;

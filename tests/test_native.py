@@ -42,6 +42,24 @@ def test_decode_missing_file():
     assert native.decode_jpeg_bgr("/nonexistent/file.jpg") is None
 
 
+def test_decode_bytes_matches_file(jpgs):
+    """In-memory decode (serving ingest path, cli/serve.py) is identical
+    to file decode and to cv2.imdecode."""
+    for p in jpgs:
+        with open(p, "rb") as f:
+            data = f.read()
+        got = native.decode_jpeg_bgr_bytes(data)
+        assert got is not None
+        np.testing.assert_array_equal(got, native.decode_jpeg_bgr(p))
+        np.testing.assert_array_equal(
+            got, cv2.imdecode(np.frombuffer(data, np.uint8),
+                              cv2.IMREAD_COLOR))
+
+
+def test_decode_bytes_garbage():
+    assert native.decode_jpeg_bgr_bytes(b"\xff\xd8\xffgarbage") is None
+
+
 def test_stage_batch_matches_python(jpgs):
     res = native.stage_batch(jpgs, 256, num_threads=3)
     assert res is not None

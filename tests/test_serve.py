@@ -246,6 +246,46 @@ def test_http_server_end_to_end(tiny_service):
         thread.join(timeout=5.0)
 
 
+def test_http_jpeg_body(tiny_service):
+    """POST /classify with a JPEG body (production clients send JPEG, not
+    .npy): sniffed by magic, decoded by the native runtime (cv2
+    fallback), host-resized to the compiled geometry (cli/serve.py)."""
+    cv2 = pytest.importorskip("cv2")
+    from http.server import ThreadingHTTPServer
+
+    from cli.serve import _decode_jpeg, _resize_host, make_handler
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(tiny_service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    port = httpd.server_address[1]
+    try:
+        # deliberately NOT the model geometry: exercises the host resize
+        img = np.random.RandomState(5).randint(
+            0, 255, (64, 80, 3), dtype=np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify", data=enc.tobytes(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = json.loads(r.read())
+        assert 0 <= body["label"] < 19
+        assert len(body["probs"]) == 19
+
+        # the HTTP path == decode + resize + direct classify, exactly
+        expect = _resize_host(_decode_jpeg(enc.tobytes()),
+                              tiny_service.image_size)
+        direct = tiny_service.classify(expect, timeout=30.0)
+        assert direct["label"] == body["label"]
+        np.testing.assert_allclose(
+            np.asarray(direct["probs"]), np.asarray(body["probs"]),
+            rtol=0, atol=1e-6)
+    finally:
+        httpd.shutdown()
+        thread.join(timeout=5.0)
+
+
 def test_http_detect_endpoint(tiny_service):
     """POST /detect runs the fused full-frame graph behind the batcher;
     /stats grows a 'detect' sub-object (cli/serve.py)."""
@@ -291,11 +331,12 @@ def test_http_detect_endpoint(tiny_service):
         assert d["label"] == direct["label"]
         assert d["box"] == np.asarray(direct["box"]).tolist()
 
-        # wrong geometry -> 400 (DetectorService shape gate)
-        small = io.BytesIO()
-        np.save(small, np.zeros((64, 64, 3), np.uint8))
+        # wrong geometry is host-resized to the compiled frame_hw now
+        # (cli/serve.py _read_image); a non-image body is still a 400
+        bad_arr = io.BytesIO()
+        np.save(bad_arr, np.zeros((4, 5), np.uint8))  # not (H, W, 3)
         bad = urllib.request.Request(
-            f"{base}/detect", data=small.getvalue(), method="POST")
+            f"{base}/detect", data=bad_arr.getvalue(), method="POST")
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=30)
         assert ei.value.code == 400
