@@ -36,10 +36,19 @@ def main():
     parser.add_argument('--batch_frames', type=int, default=1,
                         help='batch N frames per device call (offline '
                              'throughput mode)')
+    parser.add_argument('--host_device_count', type=int, default=0,
+                        metavar='N',
+                        help='run on N virtual CPU devices instead of '
+                             'the TPU (tests/CI; same flag as '
+                             'cli/train.py)')
     parser.add_argument('--show', action='store_true',
                         help='interactive preview window (reference '
                              "detect.py behavior; 'q' quits)")
     args = parser.parse_args()
+
+    from hgr_tpu.utils.platform import force_host_cpu
+
+    force_host_cpu(args.host_device_count)
 
     import jax.numpy as jnp
 

@@ -29,6 +29,11 @@ def main():
     parser.add_argument('--batch', type=int, default=1)
     parser.add_argument('--skip_eval', action='store_true')
     parser.add_argument('--canvas_size', type=int, default=256)
+    parser.add_argument('--host_device_count', type=int, default=0,
+                        metavar='N',
+                        help='run on N virtual CPU devices instead of '
+                             'the TPU (tests/CI; same flag as '
+                             'cli/train.py)')
     parser.add_argument('--format', choices=['stablehlo', 'onnx'],
                         default='stablehlo',
                         help='artifact format: stablehlo (native; eval '
@@ -38,6 +43,10 @@ def main():
                              'export.py:72-78; eval runs through the '
                              'traced torch mirror — no onnxruntime here)')
     args = parser.parse_args()
+
+    from hgr_tpu.utils.platform import force_host_cpu
+
+    force_host_cpu(args.host_device_count)
 
     from hgr_tpu.config import load_data_config
     from hgr_tpu.utils.cache import enable_compilation_cache

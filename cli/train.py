@@ -101,17 +101,11 @@ def main():
     assert args.image_size[0] == args.image_size[1], \
         "Only support square images for now."
 
-    if args.host_device_count:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count="
-                f"{args.host_device_count}").strip()
+    from hgr_tpu.utils.platform import force_host_cpu
+
+    force_host_cpu(args.host_device_count)
 
     import jax
-
-    if args.host_device_count:
-        jax.config.update("jax_platforms", "cpu")
 
     from hgr_tpu.utils.cache import enable_compilation_cache
 
