@@ -268,7 +268,7 @@ def main() -> None:
             (B, 1, 1))
         gains = jnp.ones((B, 3)) * 1.1
         dj = jnp.ones((B,))
-        for dt in ("float32", "bfloat16", "uint8"):
+        for dt in ("float32", "bfloat16", "uint8", "packed"):
             try:
                 fn = jax.jit(functools.partial(
                     warp_twopass_pallas, out_size=(192, 192),

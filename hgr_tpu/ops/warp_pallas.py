@@ -53,8 +53,13 @@ _MAX_GRID_B = 1024
 
 # Canvas HBM staging dtype the input pipeline uses (see
 # warp_twopass_pallas(canvas_dtype=...)); set from TPU measurements —
-# bench_suite config 7 compares the variants.
-PREFERRED_CANVAS_DTYPE = "float32"
+# bench_suite config 7 compares the variants. Round-3 A/B (B=1024,
+# same process): packed 36.4 / bf16 37.7 / f32 41.7 ms warp-only;
+# with fused jitter packed and bf16 tie through the e2e graph (342.6 vs
+# 342.7 ms at B=4096) and both beat f32 (359.9 ms). 'packed' also
+# stages the fewest bytes (4/pixel vs bf16's 6) and is bit-identical
+# to the planar kernels, so it is the default.
+PREFERRED_CANVAS_DTYPE = "packed"
 
 
 def _chunked_lane_gather(panels, idx):
@@ -155,6 +160,38 @@ def _hsv_jitter_planes(b, g, r, gh, gs, gv):
     return clip255(b2 + m), clip255(g2 + m), clip255(r2 + m)
 
 
+def _pass2_and_store(h_chunks, out_ref, s2, t2, u2, *, s_dim: int,
+                     ow_x: int, ow_y: int, tail_ok: bool):
+    """Vertical resample (pass 2) shared by the planar and packed
+    kernels: per-channel pass-1 chunks -> transpose -> chunked lane
+    gather -> transpose back into ``out_ref``. Operates on fractional
+    f32 intermediates, so it is planar in both kernels."""
+    n_panels = s_dim // LANE
+    ht_panels = []
+    for ci in range(3):
+        h = jnp.concatenate(h_chunks[ci], axis=1)  # (S, >=ow_x): H[k, x']
+        ht = h[:, :ow_x].T  # (ow_x, S): Ht[x', k]
+        ht_panels.append([ht[:, p * LANE:(p + 1) * LANE]
+                          for p in range(n_panels)])
+
+    out_chunks = [[], [], []]
+    for off, w in _chunk_spans(ow_y, tail_ok):
+        xprime_col = (jax.lax.broadcasted_iota(jnp.int32, (ow_x, w), 0)
+                      .astype(jnp.float32))
+        yprime = (jax.lax.broadcasted_iota(jnp.int32, (ow_x, w), 1)
+                  .astype(jnp.float32) + off)
+        pos = s2 * xprime_col + t2 * yprime + u2
+        y0i, y1i, fy = _taps(pos, s_dim)
+        for ci in range(3):
+            top = _chunked_lane_gather(ht_panels[ci], y0i)
+            bot = _chunked_lane_gather(ht_panels[ci], y1i)
+            out_chunks[ci].append(top * (1.0 - fy) + bot * fy)
+
+    for ci in range(3):
+        out_t = jnp.concatenate(out_chunks[ci], axis=1)  # (ow_x, Y)
+        out_ref[0, ci] = out_t.T  # (Y, ow_x): out[y', x']
+
+
 def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int, ow_x: int,
                  ow_y: int, with_jitter: bool, tail_ok: bool):
     """One image: img_ref (1, 3, S, S) -> out_ref (1, 3, Y, ow_x) where
@@ -207,29 +244,68 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, s_dim: int, ow_x: int,
             h_chunks[ci].append(left * (1.0 - fx) + right * fx)
 
     # ---- pass 2: vertical resample via transpose + lane gather ----
-    ht_panels = []
-    for ci in range(3):
-        h = jnp.concatenate(h_chunks[ci], axis=1)  # (S, >=ow_x): H[k, x']
-        ht = h[:, :ow_x].T  # (ow_x, S): Ht[x', k]
-        ht_panels.append([ht[:, p * LANE:(p + 1) * LANE]
-                          for p in range(n_panels)])
+    _pass2_and_store(h_chunks, out_ref, s2, t2, u2, s_dim=s_dim,
+                     ow_x=ow_x, ow_y=ow_y, tail_ok=tail_ok)
 
-    out_chunks = [[], [], []]
-    for off, w in _chunk_spans(ow_y, tail_ok):
-        xprime_col = (jax.lax.broadcasted_iota(jnp.int32, (ow_x, w), 0)
-                      .astype(jnp.float32))
-        yprime = (jax.lax.broadcasted_iota(jnp.int32, (ow_x, w), 1)
+
+def _warp_kernel_packed(params_ref, img_ref, out_ref, *, s_dim: int,
+                        ow_x: int, ow_y: int, with_jitter: bool,
+                        tail_ok: bool):
+    """Channel-packed variant: img_ref (1, S, S) int32 with one pixel
+    per lane as B | G<<8 | R<<16 -> out_ref (1, 3, Y, ow_x).
+
+    Pass 1 gathers the PACKED word, so ONE tpu.dynamic_gather per tap
+    per panel fetches all three channels — 3x fewer pass-1 gathers and
+    3x less canvas VMEM/HBM traffic than the planar kernel; taps unpack
+    (shift/mask, cheap VPU) only for the f32 blend. Pass 2 blends
+    fractional f32 values, so it stays planar (packing those would need
+    a lossy 16-bit split). Numerics are bit-identical to the planar
+    kernel: packing is lossless on 0-255 integers (the HSV jitter also
+    emits exact 0-255 integers, so jitter->repack loses nothing) and
+    the blends see the same f32 values in the same order."""
+    i = pl.program_id(0)
+    alpha = params_ref[i, 0]
+    beta = params_ref[i, 1]
+    gamma = params_ref[i, 2]
+    s2 = params_ref[i, 3]
+    t2 = params_ref[i, 4]
+    u2 = params_ref[i, 5]
+
+    packed = img_ref[0]  # (S, S) int32, value <= 0xFFFFFF (sign-safe)
+    if with_jitter:
+        bp = (packed & 0xFF).astype(jnp.float32)
+        gp = ((packed >> 8) & 0xFF).astype(jnp.float32)
+        rp = ((packed >> 16) & 0xFF).astype(jnp.float32)
+        jb, jg, jr = _hsv_jitter_planes(
+            bp, gp, rp, params_ref[i, 6], params_ref[i, 7],
+            params_ref[i, 8])
+        repacked = (jb.astype(jnp.int32)
+                    | (jg.astype(jnp.int32) << 8)
+                    | (jr.astype(jnp.int32) << 16))
+        packed = jnp.where(params_ref[i, 9] > 0.0, repacked, packed)
+
+    n_panels = s_dim // LANE
+    src_panels = [packed[:, p * LANE:(p + 1) * LANE]
+                  for p in range(n_panels)]
+
+    # ---- pass 1: horizontal resample, one packed gather per tap ----
+    h_chunks = [[], [], []]
+    for off, w in _chunk_spans(ow_x, tail_ok):
+        k_col = (jax.lax.broadcasted_iota(jnp.int32, (s_dim, w), 0)
+                 .astype(jnp.float32))
+        xprime = (jax.lax.broadcasted_iota(jnp.int32, (s_dim, w), 1)
                   .astype(jnp.float32) + off)
-        pos = s2 * xprime_col + t2 * yprime + u2
-        y0i, y1i, fy = _taps(pos, s_dim)
-        for ci in range(3):
-            top = _chunked_lane_gather(ht_panels[ci], y0i)
-            bot = _chunked_lane_gather(ht_panels[ci], y1i)
-            out_chunks[ci].append(top * (1.0 - fy) + bot * fy)
+        pos = alpha * xprime + beta * k_col + gamma
+        x0i, x1i, fx = _taps(pos, s_dim)
+        left = _chunked_lane_gather(src_panels, x0i)
+        right = _chunked_lane_gather(src_panels, x1i)
+        for ci, sh in enumerate((0, 8, 16)):
+            lv = ((left >> sh) & 0xFF).astype(jnp.float32)
+            rv = ((right >> sh) & 0xFF).astype(jnp.float32)
+            h_chunks[ci].append(lv * (1.0 - fx) + rv * fx)
 
-    for ci in range(3):
-        out_t = jnp.concatenate(out_chunks[ci], axis=1)  # (ow_x, Y)
-        out_ref[0, ci] = out_t.T  # (Y, ow_x): out[y', x']
+    _pass2_and_store(h_chunks, out_ref, s2, t2, u2, s_dim=s_dim,
+                     ow_x=ow_x, ow_y=ow_y, tail_ok=tail_ok)
 
 
 # Partial (sub-128-lane) tail chunks: REJECTED by this Mosaic toolchain —
@@ -247,35 +323,45 @@ def _out_extent(ow: int, tail_ok: bool) -> int:
 
 
 def _warp_one_call(params_c: Array, chw_c: Array, *, ow_x: int, ow_y: int,
-                   with_jitter: bool, interpret: bool) -> Array:
+                   with_jitter: bool, interpret: bool,
+                   packed: bool = False) -> Array:
     """One pallas_call over a ≤_MAX_GRID_B batch chunk. Output block is
-    (1, 3, Y, ow_x) with Y = chunk-covered extent of ow_y."""
-    nb, c, s_dim, _ = chw_c.shape
+    (1, 3, Y, ow_x) with Y = chunk-covered extent of ow_y. ``packed``
+    input is (B, S, S) int32 channel-packed; planar is (B, 3, S, S)."""
+    nb = chw_c.shape[0]
+    s_dim = chw_c.shape[-1]
     tail_ok = TAIL_CHUNKS_OK
     y_ext = _out_extent(ow_y, tail_ok)
-    kernel = functools.partial(_warp_kernel, s_dim=s_dim, ow_x=ow_x,
-                               ow_y=ow_y, with_jitter=with_jitter,
-                               tail_ok=tail_ok)
+    if packed:
+        kernel = functools.partial(_warp_kernel_packed, s_dim=s_dim,
+                                   ow_x=ow_x, ow_y=ow_y,
+                                   with_jitter=with_jitter, tail_ok=tail_ok)
+        in_spec = pl.BlockSpec((1, s_dim, s_dim),
+                               lambda i, params: (i, 0, 0))
+    else:
+        kernel = functools.partial(_warp_kernel, s_dim=s_dim, ow_x=ow_x,
+                                   ow_y=ow_y, with_jitter=with_jitter,
+                                   tail_ok=tail_ok)
+        in_spec = pl.BlockSpec((1, 3, s_dim, s_dim),
+                               lambda i, params: (i, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 3, s_dim, s_dim),
-                         lambda i, params: (i, 0, 0, 0)),
-        ],
+        in_specs=[in_spec],
         out_specs=pl.BlockSpec((1, 3, y_ext, ow_x),
                                lambda i, params: (i, 0, 0, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, c, y_ext, ow_x), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, 3, y_ext, ow_x), jnp.float32),
         interpret=interpret,
     )(params_c, chw_c)
 
 
 def _warp_chunk_impl(params_c: Array, chw_c: Array, *, ow_x: int, ow_y: int,
-                     with_jitter: bool, interpret: bool) -> Array:
+                     with_jitter: bool, interpret: bool,
+                     packed: bool = False) -> Array:
     """Warp any batch size, splitting into ≤_MAX_GRID_B pallas_calls.
 
     Scalar-prefetch SMEM + grid bookkeeping overflow the 1 MB SMEM just
@@ -287,23 +373,26 @@ def _warp_chunk_impl(params_c: Array, chw_c: Array, *, ow_x: int, ow_y: int,
     b = chw_c.shape[0]
     if b <= _MAX_GRID_B:
         return _warp_one_call(params_c, chw_c, ow_x=ow_x, ow_y=ow_y,
-                              with_jitter=with_jitter, interpret=interpret)
+                              with_jitter=with_jitter, interpret=interpret,
+                              packed=packed)
     return jnp.concatenate(
         [_warp_one_call(params_c[s:s + _MAX_GRID_B],
                         chw_c[s:s + _MAX_GRID_B], ow_x=ow_x, ow_y=ow_y,
-                        with_jitter=with_jitter, interpret=interpret)
+                        with_jitter=with_jitter, interpret=interpret,
+                        packed=packed)
          for s in range(0, b, _MAX_GRID_B)], axis=0)
 
 
 @functools.lru_cache(maxsize=16)
 def _sharded_warp_chunk(ow_x: int, ow_y: int, with_jitter: bool,
-                        interpret: bool):
+                        interpret: bool, packed: bool = False):
     """Batch-partitioned warp launcher (one cached op per config)."""
     return batch_partitioned(
         lambda params_c, chw_c: _warp_chunk_impl(
             params_c, chw_c, ow_x=ow_x, ow_y=ow_y, with_jitter=with_jitter,
-            interpret=interpret),
-        sharding_rule="b p, b c s t -> b c y x")
+            interpret=interpret, packed=packed),
+        sharding_rule=("b p, b s t -> b c y x" if packed
+                       else "b p, b c s t -> b c y x"))
 
 
 def warp_twopass_pallas(
@@ -326,16 +415,25 @@ def warp_twopass_pallas(
     before the kernel reads it (the kernel always computes in f32):
     'float32' reads 4x the bytes of the uint8 source, 'bfloat16' 2x,
     'uint8' 1x (requires the Mosaic toolchain to cast u8 in-kernel —
-    probe with a try/except compile; round-1 toolchain could not)."""
+    probe with a try/except compile; round-1 toolchain could not);
+    'packed' stages ONE int32 word per pixel (B | G<<8 | R<<16) so each
+    pass-1 gather fetches all three channels — bit-identical to the
+    planar kernels for 0-255-integer images (the training canvas is
+    uint8; float inputs are rounded to the nearest level, which the
+    output quantization step reapplies anyway)."""
     out_h, out_w = int(out_size[0]), int(out_size[1])
     b, s_dim, s_w, c = images.shape
     assert s_dim == s_w and s_dim % LANE == 0, (
         "canvas must be square with side a multiple of 128")
     assert c == 3, "fused warp expects 3-channel BGR images"
     orig_dtype = images.dtype
-    stage_dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                "uint8": jnp.uint8}[canvas_dtype]
-    imgs = images.astype(stage_dt)
+    packed_mode = canvas_dtype == "packed"
+    if packed_mode:
+        imgs = images
+    else:
+        stage_dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                    "uint8": jnp.uint8}[canvas_dtype]
+        imgs = images.astype(stage_dt)
 
     minv = invert_affine(jnp.asarray(m, jnp.float32))
     p_, q_, r_ = minv[:, 0, 0], minv[:, 0, 1], minv[:, 0, 2]
@@ -368,7 +466,18 @@ def warp_twopass_pallas(
             [jnp.stack([alpha, beta, gamma, s2, t2, u2], axis=-1),
              jnp.zeros((b, 4))], axis=-1)  # (B, 10)
 
-    chw = jnp.moveaxis(imgs_sel, -1, 1)  # (B, 3, S, S)
+    if packed_mode:
+        # One int32 word per pixel: B | G<<8 | R<<16 (<= 0xFFFFFF, so
+        # arithmetic >> in the kernel never sees the sign bit). Lossless
+        # for integer images; floats round to the nearest 0-255 level.
+        if jnp.issubdtype(imgs_sel.dtype, jnp.integer):
+            u = imgs_sel.astype(jnp.int32)
+        else:
+            u = jnp.clip(jnp.round(imgs_sel.astype(jnp.float32)),
+                         0.0, 255.0).astype(jnp.int32)
+        chw = (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16))
+    else:
+        chw = jnp.moveaxis(imgs_sel, -1, 1)  # (B, 3, S, S)
 
     # The kernel only resamples the output window (8-lane aligned); the
     # canvas beyond it is never warped (it was in round 2 — 25% wasted
@@ -381,11 +490,12 @@ def warp_twopass_pallas(
         # (ops/partitioning.py); each device warps its batch shard
         # (SMEM chunking happens per shard inside _warp_chunk_impl).
         out_chw = _sharded_warp_chunk(ow_x, ow_y, with_jitter,
-                                      interpret)(params, chw)
+                                      interpret, packed_mode)(params, chw)
     else:
         out_chw = _warp_chunk_impl(params, chw, ow_x=ow_x, ow_y=ow_y,
                                    with_jitter=with_jitter,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   packed=packed_mode)
 
     out = jnp.moveaxis(out_chw, 1, -1)[:, :out_h, :out_w, :]
 

@@ -86,11 +86,34 @@ def test_canvas_staging_dtypes_exact():
     ref = np.asarray(warp_pallas.warp_twopass_pallas(
         jnp.asarray(imgs), m, (96, 96), interpret=True,
         canvas_dtype="float32"))
-    for dt in ("bfloat16", "uint8"):
+    for dt in ("bfloat16", "uint8", "packed"):
         got = np.asarray(warp_pallas.warp_twopass_pallas(
             jnp.asarray(imgs), m, (96, 96), interpret=True,
             canvas_dtype=dt))
         np.testing.assert_array_equal(got, ref, err_msg=dt)
+
+
+def test_packed_kernel_matches_planar_with_jitter():
+    """The channel-packed kernel (one int32 gather fetches B,G,R) must be
+    bit-identical to the planar kernel, including the fused HSV jitter:
+    jitter emits exact 0-255 integers, so the unpack->jitter->repack
+    round trip inside the kernel is lossless."""
+    b, s = 3, 256
+    imgs = RNG.randint(0, 255, (b, s, s, 3)).astype(np.uint8)
+    m = build_affine(
+        jnp.tile(jnp.asarray([128.0, 128.0]), (b, 1)),
+        jnp.asarray([1.0, 0.8, 1.3]), jnp.asarray([0.0, 25.0, -80.0]),
+        jnp.full((b,), 89.6), (192, 192))
+    gains = jnp.asarray(
+        [[1.0, 1.0, 1.0], [1.01, 1.3, 0.8], [0.99, 0.7, 1.2]], jnp.float32)
+    do_j = jnp.asarray([0.0, 1.0, 1.0])
+    ref = np.asarray(warp_pallas.warp_twopass_pallas(
+        jnp.asarray(imgs), m, (192, 192), interpret=True,
+        jitter_gains=gains, do_jitter=do_j, canvas_dtype="float32"))
+    got = np.asarray(warp_pallas.warp_twopass_pallas(
+        jnp.asarray(imgs), m, (192, 192), interpret=True,
+        jitter_gains=gains, do_jitter=do_j, canvas_dtype="packed"))
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_warp_pallas_chunked_large_batch(monkeypatch):
