@@ -7,7 +7,11 @@ frame-serial detect.py script). Endpoints:
                    first-party native decoder, cv2 fallback) or .npy
                    bytes of a (H, W, 3) uint8 BGR crop; resized host-side
                    to the model image size when needed; response = JSON
-                   {label, label_name, probs, landmarks}
+                   {label, label_name, probs, landmarks}. Coordinates
+                   (landmarks, and /detect's box) are ALWAYS in the
+                   client's original image geometry — the host resize is
+                   undone before responding, so overlays draw directly
+                   on the frame the client sent.
   POST /detect     (with --det_weight) body = a JPEG or .npy of a uint8
                    BGR FULL FRAME (resized to --frame_hw when needed);
                    runs the fused detect->crop->classify graph
@@ -181,25 +185,44 @@ def make_handler(service, detector=None):
             if img.ndim != 3 or img.shape[-1] != 3:
                 raise ValueError(
                     f"expected (H, W, 3) image, got shape {img.shape}")
-            if tuple(img.shape[:2]) != tuple(target_hw):
+            orig_hw = (int(img.shape[0]), int(img.shape[1]))
+            if orig_hw != tuple(target_hw):
                 img = _resize_host(img.astype(np.uint8), target_hw)
-            return img.astype(np.uint8)
+            return img.astype(np.uint8), orig_hw
+
+        @staticmethod
+        def _to_client_space(pts, compiled_hw, orig_hw):
+            """Map (..., 2) x,y coordinates (or a flat x0,y0,x1,y1 box)
+            from the server's compiled geometry back to the client's
+            ORIGINAL image geometry, undoing the host resize — clients
+            draw overlays on the frame they sent, not on the server's
+            internal one."""
+            pts = np.asarray(pts, np.float64)
+            sx = orig_hw[1] / compiled_hw[1]
+            sy = orig_hw[0] / compiled_hw[0]
+            if pts.ndim == 1:  # box [x0, y0, x1, y1]
+                return (pts * np.array([sx, sy, sx, sy])).tolist()
+            out = pts.copy()
+            out[..., 0] *= sx
+            out[..., 1] *= sy
+            return out.tolist()
 
         def do_POST(self):
             try:
                 if self.path == "/classify":
-                    result = service.classify(
-                        self._read_image(service.image_size), timeout=30.0)
+                    img, orig_hw = self._read_image(service.image_size)
+                    result = service.classify(img, timeout=30.0)
                     self._send(200, {
                         "label": result["label"],
                         "label_name": result["label_name"],
                         "probs": np.asarray(result["probs"]).tolist(),
-                        "landmarks": np.asarray(
-                            result["landmarks"]).tolist(),
+                        "landmarks": self._to_client_space(
+                            result["landmarks"], service.image_size,
+                            orig_hw),
                     })
                 elif self.path == "/detect" and detector is not None:
-                    result = detector.detect(
-                        self._read_image(detector.frame_hw), timeout=30.0)
+                    img, orig_hw = self._read_image(detector.frame_hw)
+                    result = detector.detect(img, timeout=30.0)
                     if result is None:
                         self._send(200, {"detection": None})
                     else:
@@ -207,9 +230,12 @@ def make_handler(service, detector=None):
                             "label": result["label"],
                             "label_name": result["label_name"],
                             "score": result["score"],
-                            "box": np.asarray(result["box"]).tolist(),
-                            "landmarks": np.asarray(
-                                result["landmarks"]).tolist(),
+                            "box": self._to_client_space(
+                                np.asarray(result["box"]).reshape(-1),
+                                detector.frame_hw, orig_hw),
+                            "landmarks": self._to_client_space(
+                                result["landmarks"], detector.frame_hw,
+                                orig_hw),
                         }})
                 else:
                     self._send(404, {"error": "unknown path"})

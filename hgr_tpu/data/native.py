@@ -75,10 +75,14 @@ def _load() -> Optional[ctypes.CDLL]:
             # Stale .so from an older ABI — rebuild once. dlopen dedupes
             # by pathname while the stale handle is alive, so re-CDLL of
             # _LIB_PATH would return the OLD image; load the fresh build
-            # through a unique temp copy instead.
-            if _build_attempted or not _build():
+            # through a unique temp copy instead. The attempt flag is set
+            # BEFORE building so a failed compile (no toolchain on the
+            # host) is not retried on every _load() call.
+            if _build_attempted:
                 return None
             _build_attempted = True
+            if not _build():
+                return None
             lib = _load_unique_copy()
             if lib is None or not hasattr(lib, "hgr_decode_jpeg_mem"):
                 return None
@@ -107,7 +111,38 @@ def available() -> bool:
 
 
 _MAX_SIDE = 4096
-_decode_tls = threading.local()
+
+# Bounded pool of 48 MB decode buffers, shared by ALL decode callers.
+# (A per-thread cache looked cheaper but leaked by design under
+# ThreadingHTTPServer, which runs one fresh thread per request — every
+# JPEG POST allocated and discarded a full buffer. The pool lock costs
+# nanoseconds against a multi-ms libjpeg decode.)
+_decode_pool: list = []
+_decode_pool_lock = threading.Lock()
+_DECODE_POOL_MAX = 8
+
+
+def _decode_into_pooled_buf(call) -> Optional[np.ndarray]:
+    """Run one libjpeg decode ``call(out_ptr, cap, &w, &h) -> rc`` into a
+    pooled buffer; return the copied (H, W, 3) BGR array or None."""
+    cap = _MAX_SIDE * _MAX_SIDE * 3
+    with _decode_pool_lock:
+        buf = _decode_pool.pop() if _decode_pool else None
+    if buf is None:
+        buf = np.empty((cap,), np.uint8)
+    try:
+        w = ctypes.c_int(0)
+        h = ctypes.c_int(0)
+        rc = call(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                  cap, ctypes.byref(w), ctypes.byref(h))
+        if rc != 0:
+            return None
+        return (buf[: h.value * w.value * 3]
+                .reshape(h.value, w.value, 3).copy())
+    finally:
+        with _decode_pool_lock:
+            if len(_decode_pool) < _DECODE_POOL_MAX:
+                _decode_pool.append(buf)
 
 
 def decode_jpeg_bgr(path: str) -> Optional[np.ndarray]:
@@ -115,22 +150,9 @@ def decode_jpeg_bgr(path: str) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
-    cap = _MAX_SIDE * _MAX_SIDE * 3
-    # reuse one decode buffer per worker thread — a fresh 48 MB
-    # allocation per image caused constant large-alloc churn in the
-    # per-sample fallback path
-    buf = getattr(_decode_tls, "buf", None)
-    if buf is None:
-        buf = np.empty((cap,), np.uint8)
-        _decode_tls.buf = buf
-    w = ctypes.c_int(0)
-    h = ctypes.c_int(0)
-    rc = lib.hgr_decode_jpeg(
-        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        cap, ctypes.byref(w), ctypes.byref(h))
-    if rc != 0:
-        return None
-    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+    return _decode_into_pooled_buf(
+        lambda out, cap, w, h: lib.hgr_decode_jpeg(
+            path.encode(), out, cap, w, h))
 
 
 def decode_jpeg_bgr_bytes(data: bytes) -> Optional[np.ndarray]:
@@ -140,21 +162,11 @@ def decode_jpeg_bgr_bytes(data: bytes) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
-    cap = _MAX_SIDE * _MAX_SIDE * 3
-    buf = getattr(_decode_tls, "buf", None)
-    if buf is None:
-        buf = np.empty((cap,), np.uint8)
-        _decode_tls.buf = buf
     src = np.frombuffer(data, np.uint8)
-    w = ctypes.c_int(0)
-    h = ctypes.c_int(0)
-    rc = lib.hgr_decode_jpeg_mem(
-        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
-        ctypes.byref(w), ctypes.byref(h))
-    if rc != 0:
-        return None
-    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+    return _decode_into_pooled_buf(
+        lambda out, cap, w, h: lib.hgr_decode_jpeg_mem(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+            out, cap, w, h))
 
 
 def stage_batch(

@@ -329,7 +329,32 @@ def test_http_detect_endpoint(tiny_service):
         # HTTP path agrees with the direct fused graph
         direct = pipe.infer_frames(frame[None])[0]
         assert d["label"] == direct["label"]
-        assert d["box"] == np.asarray(direct["box"]).tolist()
+        assert d["box"] == np.asarray(direct["box"], np.float64).tolist()
+
+        # Off-geometry frames: host-resized for the device graph, but
+        # the response coordinates map BACK to the client's original
+        # geometry (2x here) — overlays draw on the frame the client
+        # sent (cli/serve.py _to_client_space).
+        cv2 = pytest.importorskip("cv2")
+        big = cv2.resize(frame, (640, 360),
+                         interpolation=cv2.INTER_LINEAR)
+        buf2 = io.BytesIO()
+        np.save(buf2, big)
+        req2 = urllib.request.Request(
+            f"{base}/detect", data=buf2.getvalue(), method="POST")
+        with urllib.request.urlopen(req2, timeout=120) as r:
+            d2 = json.loads(r.read())["detection"]
+        # the server saw cv2.resize(big, (320, 180)) — not bit-equal to
+        # `frame`, so compare against the direct result on that image
+        small_again = cv2.resize(big, (320, 180),
+                                 interpolation=cv2.INTER_LINEAR)
+        direct2 = pipe.infer_frames(small_again[None])[0]
+        np.testing.assert_allclose(
+            np.asarray(d2["box"]),
+            np.asarray(direct2["box"], np.float64) * 2.0, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(d2["landmarks"]),
+            np.asarray(direct2["landmarks"], np.float64) * 2.0, atol=1e-6)
 
         # wrong geometry is host-resized to the compiled frame_hw now
         # (cli/serve.py _read_image); a non-image body is still a 400
