@@ -89,6 +89,34 @@ def test_warp_chunk_partitioned_matches_single():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_warp_chunk_packed_partitioned_matches_single():
+    """The channel-packed kernel's own sharding rule
+    ('b p, b s t -> b c y x' — the packed operand is rank 3) must
+    reproduce the per-shard lowering exactly, like the planar rule."""
+    mesh = _mesh()
+    rng = np.random.RandomState(4)
+    b, s = 8, 128
+    u = rng.randint(0, 255, (b, s, s, 3)).astype(np.int64)
+    packed = jnp.asarray(
+        u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16), jnp.int32)
+    theta = 0.3
+    params = jnp.tile(jnp.asarray(
+        [[np.cos(theta), np.sin(theta) * 0.2, 4.0,
+          0.1, 1.05, -2.0, 0, 0, 0, 0]], np.float32), (b, 1))
+    ow = 96
+    want = np.concatenate([
+        np.asarray(_warp_chunk_impl(params[i:i + 1], packed[i:i + 1],
+                                    ow_x=ow, ow_y=ow, with_jitter=False,
+                                    interpret=True, packed=True))
+        for i in range(b)])
+
+    op = _sharded_warp_chunk(ow, ow, False, True, True)
+    sh = NamedSharding(mesh, P("data"))
+    got = jax.jit(op)(jax.device_put(params, sh),
+                      jax.device_put(packed, sh))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_attention_grad_through_mesh_jit():
     """End-to-end: value_and_grad of a mesh-jitted loss whose forward
     and backward both cross the partitioned kernel launchers."""
