@@ -27,6 +27,13 @@ def main():
                         help='output artifact path (default: '
                              '<weight_path>.stablehlo)')
     parser.add_argument('--batch', type=int, default=1)
+    parser.add_argument('--backbone', choices=['auto', 'gelans', 'gelanl'],
+                        default='auto',
+                        help='GELAN variant of the checkpoint; auto '
+                             'detects it from the weight tree (the two '
+                             'variants share channel widths and differ '
+                             'only in blocks-per-chain, so a mismatch '
+                             'would export silently wrong numbers)')
     parser.add_argument('--skip_eval', action='store_true')
     parser.add_argument('--canvas_size', type=int, default=256)
     parser.add_argument('--host_device_count', type=int, default=0,
@@ -60,13 +67,20 @@ def main():
         load_stablehlo,
         save_weights_npz,
     )
-    from hgr_tpu.infer.weights import load_classifier_weights
+    from hgr_tpu.infer.weights import (
+        infer_backbone_variant,
+        load_classifier_weights,
+    )
     from hgr_tpu.models import MultiTaskNet
 
     data_cfg = load_data_config(args.data_config)
     image_size = (args.image_size[0], args.image_size[1])
-    variables = load_classifier_weights(args.weight_path, image_size)
-    model = MultiTaskNet(image_size=image_size)
+    backbone = {'auto': 'auto', 'gelans': 'small',
+                'gelanl': 'large'}[args.backbone]
+    variables = load_classifier_weights(args.weight_path, image_size,
+                                        backbone=backbone)
+    backbone = infer_backbone_variant(variables)
+    model = MultiTaskNet(image_size=image_size, backbone=backbone)
 
     if args.format == 'onnx':
         import numpy as np
@@ -78,7 +92,8 @@ def main():
             variables, out,
             num_joints=data_cfg.num_joints,
             num_classes=data_cfg.num_classes,
-            image_size=image_size, batch=args.batch)
+            image_size=image_size, batch=args.batch,
+            backbone=backbone)
         print(f"exported ONNX artifact -> {out}")
         if not args.skip_eval:
             import torch

@@ -82,17 +82,26 @@ def build_service(args):
     import jax.numpy as jnp
 
     from hgr_tpu.config import IMAGENET_MEAN, IMAGENET_STD, load_data_config
-    from hgr_tpu.infer.weights import load_classifier_weights
+    from hgr_tpu.infer.weights import (
+        infer_backbone_variant,
+        load_classifier_weights,
+    )
     from hgr_tpu.models import MultiTaskNet
     from hgr_tpu.serve import ClassifierService
 
     data_cfg = load_data_config(args.data)
+    image_size = tuple(args.image_size)
+    backbone = {"auto": "auto", "gelans": "small",
+                "gelanl": "large"}[args.backbone]
+    variables = load_classifier_weights(args.ckpt, image_size,
+                                        backbone=backbone)
     model = MultiTaskNet(
         num_joints=data_cfg.num_joints,
         num_classes=data_cfg.num_classes,
+        image_size=image_size,
+        backbone=infer_backbone_variant(variables),
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
-    variables = load_classifier_weights(args.ckpt)
     if args.quantize:
         from hgr_tpu.infer.quant import quantize_model
 
@@ -133,6 +142,7 @@ def build_detector_service(args, cls_variables):
         cls_variables,
         load_detector_weights(args.det_weight),
         data_cfg.names,
+        cls_img_size=tuple(args.image_size),
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     service = DetectorService(
         pipeline, frame_hw=tuple(args.frame_hw),
@@ -185,6 +195,18 @@ def make_handler(service, detector=None):
             if img.ndim != 3 or img.shape[-1] != 3:
                 raise ValueError(
                     f"expected (H, W, 3) image, got shape {img.shape}")
+            if img.dtype != np.uint8:
+                # A float-normalized crop astype'd to uint8 would be
+                # all 0s/1s (and wide ints wrap mod 256) — classified
+                # noise with a confident 200. Accept only values that
+                # ARE uint8 pixels; reject everything else as a 400.
+                if img.size == 0 or img.min() < 0 or img.max() > 255 or (
+                        np.issubdtype(img.dtype, np.floating)
+                        and not np.array_equal(img, np.round(img))):
+                    raise ValueError(
+                        f"expected uint8 pixels in [0, 255], got dtype "
+                        f"{img.dtype} (float images must be sent as "
+                        "uint8, not normalized floats)")
             orig_hw = (int(img.shape[0]), int(img.shape[1]))
             if orig_hw != tuple(target_hw):
                 img = _resize_host(img.astype(np.uint8), target_hw)
@@ -273,6 +295,15 @@ def main(argv=None):
     ap.add_argument("--data", default="configs/hagrid.yaml")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--backbone", default="auto",
+                    choices=["auto", "gelans", "gelanl"],
+                    help="GELAN variant of the checkpoint; auto detects "
+                         "it from the weight tree (a mismatch would "
+                         "serve silently wrong results — the variants "
+                         "differ only in blocks-per-chain)")
+    ap.add_argument("--image_size", nargs=2, type=int, default=[192, 192],
+                    help="crop geometry the checkpoint was trained at "
+                         "(cli/train.py --image_size)")
     ap.add_argument("--quantize", default=None,
                     help=".npy/.npz of uint8 calibration crops -> int8 "
                          "backbone")
@@ -283,11 +314,18 @@ def main(argv=None):
                     help="full-frame geometry for /detect (one compiled "
                          "geometry per server, serve/engine.py)")
     ap.add_argument("--det_max_batch", type=int, default=16)
+    ap.add_argument("--host_device_count", type=int, default=0,
+                    metavar="N",
+                    help="run on N virtual CPU devices instead of the "
+                         "TPU (tests/CI; same flag as cli/train.py)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=64)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     args = ap.parse_args(argv)
+    from hgr_tpu.utils.platform import force_host_cpu
+
+    force_host_cpu(args.host_device_count)
     service, cls_variables = build_service(args)
     detector = (build_detector_service(args, cls_variables)
                 if args.det_weight is not None else None)

@@ -121,9 +121,14 @@ def sizes_fingerprint(index):
     return h.hexdigest(), missing
 
 
-def _snapshot_load(snap_dir: str, fingerprint: str, index, n: int, spec
-                   ) -> Optional[Dict[str, np.ndarray]]:
-    """Memory-mapped snapshot rows, or None when absent/stale/corrupt."""
+def _snapshot_load(snap_dir: str, fingerprint: str, get_sizes_fp, n: int,
+                   spec) -> Optional[Dict[str, np.ndarray]]:
+    """Memory-mapped snapshot rows, or None when absent/stale/corrupt.
+
+    ``get_sizes_fp`` is a zero-arg callable returning
+    ``sizes_fingerprint(index)`` — a callable (memoized by the caller)
+    because the sweep stats every file in the split, and on a stale
+    rebuild the writer needs the same digest again."""
     try:
         with open(os.path.join(snap_dir, _MANIFEST)) as f:
             man = json.load(f)
@@ -133,7 +138,7 @@ def _snapshot_load(snap_dir: str, fingerprint: str, index, n: int, spec
              or man.get("n") != n
              or man.get("fingerprint") != fingerprint)
     if not stale and "sizes_fingerprint" in man:
-        sizes_fp, missing = sizes_fingerprint(index)
+        sizes_fp, missing = get_sizes_fp()
         # image bytes changed under unchanged annotations -> stale;
         # but a fully-archived split (every file gone) is served from
         # the snapshot on the annotation fingerprint alone
@@ -204,10 +209,17 @@ def _fill_cache(loader: BatchLoader, cache, write, spec, n: int, mesh=None):
     snap_dir = getattr(loader, "snapshot_dir", "")
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     fp = ""
+    _sizes: list = []  # memoize the per-file stat sweep across load+write
+
+    def sizes_fp_once():
+        if not _sizes:
+            _sizes.append(sizes_fingerprint(loader.index))
+        return _sizes[0]
+
     if snap_dir:
         fp = index_fingerprint(loader.index, loader.canvas_size,
                                loader.num_joints, loader.window_frac)
-        mm = _snapshot_load(snap_dir, fp, loader.index, n, spec)
+        mm = _snapshot_load(snap_dir, fp, sizes_fp_once, n, spec)
         if mm is not None:
             # ~64 MB upload blocks (row bytes are canvas-dominated)
             rows = max(1, (64 << 20) // (loader.canvas_size ** 2 * 3))
@@ -222,7 +234,7 @@ def _fill_cache(loader: BatchLoader, cache, write, spec, n: int, mesh=None):
     writer = None
     if snap_dir:
         writer = _SnapshotWriter(snap_dir, fp, n, spec, meta={
-            "sizes_fingerprint": sizes_fingerprint(loader.index)[0],
+            "sizes_fingerprint": sizes_fp_once()[0],
             "canvas_size": loader.canvas_size,
             "num_joints": loader.num_joints,
             "window_frac": loader.window_frac,

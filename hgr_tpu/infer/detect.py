@@ -62,9 +62,15 @@ class HandGesturePipeline:
         cls_img_size: Tuple[int, int] = (192, 192),
         score_thresh: float = 0.2,
         dtype=jnp.bfloat16,
+        backbone: str = "auto",
     ):
+        if backbone == "auto":
+            from hgr_tpu.infer.weights import infer_backbone_variant
+
+            backbone = infer_backbone_variant(classifier_variables)
         self.classifier = MultiTaskNet(dtype=dtype,
-                                       image_size=cls_img_size)
+                                       image_size=cls_img_size,
+                                       backbone=backbone)
         self.detector = YOLOv7Tiny(num_classes=1, dtype=dtype)
         self.cls_vars = classifier_variables
         self.det_vars = detector_variables

@@ -12,56 +12,110 @@ import jax
 import jax.numpy as jnp
 
 
+def infer_backbone_variant(variables: Dict[str, Any]) -> str:
+    """'small' or 'large' from a loaded classifier tree's structure.
+
+    GELAN_SPEC small/large share every channel width and differ only in
+    blocks-per-chain (models/gelan.py:31-46), so a large checkpoint
+    restores "cleanly" into a small model while flax silently ignores
+    the extra cv2_1/cv3_1 ResBlocks — every output would be garbage with
+    no error. The extra blocks ARE the discriminator: cspelan1/cv2_1
+    exists iff the checkpoint came from the large variant.
+    """
+    params = variables.get("params", variables)
+    try:
+        block = params["encoder"]["cspelan1"]
+    except (KeyError, TypeError):
+        raise ValueError(
+            "not a MultiTaskNet classifier tree: missing "
+            "params/encoder/cspelan1") from None
+    return "large" if "cv2_1" in block else "small"
+
+
 def load_classifier_weights(
     path: str,
     image_size: Tuple[int, int] = (192, 192),
+    backbone: str = "auto",
 ) -> Dict[str, Any]:
     """Classifier variables from orbax dir / .npz / reference .ckpt.
 
     Empty path -> freshly-initialized random weights (smoke testing).
+    ``backbone``: 'small' | 'large' | 'auto'. File formats (.npz/.ckpt)
+    carry their structure, so 'auto' costs nothing; orbax restore needs
+    a matching template, so 'auto' tries small then large. For an empty
+    path 'auto' means 'small'.
     """
     from hgr_tpu.models import MultiTaskNet
 
-    model = MultiTaskNet(image_size=image_size)
     if not path:
+        model = MultiTaskNet(
+            image_size=image_size,
+            backbone="small" if backbone == "auto" else backbone)
         return model.init(jax.random.PRNGKey(0),
                           jnp.zeros((1,) + tuple(image_size) + (3,)),
                           train=False)
     if path.endswith(".npz"):
         from hgr_tpu.infer.export import load_weights_npz
 
-        return load_weights_npz(path)
-    if path.endswith(".ckpt"):
+        loaded = load_weights_npz(path)
+    elif path.endswith(".ckpt"):
         from hgr_tpu.utils.torch_port import load_reference_checkpoint
 
-        return load_reference_checkpoint(path)
-    # orbax checkpoint directory: saved payload {step, params,
-    # batch_stats, opt_state}
+        loaded = load_reference_checkpoint(path)
+    else:
+        loaded = _restore_orbax(path, image_size, backbone)
+    if backbone != "auto":
+        found = infer_backbone_variant(loaded)
+        want = {"small": "small", "large": "large"}.get(backbone, backbone)
+        if found != want:
+            raise ValueError(
+                f"--backbone says {want!r} but {path} holds a {found!r} "
+                "checkpoint (distinguished by the cspelan1/cv2_1 block)")
+    return loaded
+
+
+def _restore_orbax(path: str, image_size: Tuple[int, int],
+                   backbone: str) -> Dict[str, Any]:
+    """Orbax checkpoint directory: saved payload is either bare
+    variables or the train-state layout {step, params, batch_stats,
+    opt_state}; the template must structurally match, so 'auto' probes
+    small then large."""
     import orbax.checkpoint as ocp
 
-    template = model.init(jax.random.PRNGKey(0),
-                          jnp.zeros((1,) + tuple(image_size) + (3,)),
-                          train=False)
-    ckptr = ocp.StandardCheckpointer()
-    # try a bare variables payload first, then the train-state layout
-    try:
-        restored = ckptr.restore(os.path.abspath(path), template)
-        return restored
-    except Exception:
-        from hgr_tpu.train.state import create_train_state
+    from hgr_tpu.models import MultiTaskNet
 
-        state, _ = create_train_state(
-            model, jax.random.PRNGKey(0),
-            (1,) + tuple(image_size) + (3,), lr=1e-3, milestones_steps=())
-        payload = {
-            "step": state.step,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-        }
-        restored = ckptr.restore(os.path.abspath(path), payload)
-        return {"params": restored["params"],
-                "batch_stats": restored["batch_stats"]}
+    ckptr = ocp.StandardCheckpointer()
+    variants = (("small", "large") if backbone == "auto" else (backbone,))
+    last_exc: Exception = ValueError("no variant attempted")
+    for variant in variants:
+        model = MultiTaskNet(image_size=image_size, backbone=variant)
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1,) + tuple(image_size) + (3,)),
+                              train=False)
+        # try a bare variables payload first, then the train-state layout
+        try:
+            return ckptr.restore(os.path.abspath(path), template)
+        except Exception as exc:
+            last_exc = exc
+        try:
+            from hgr_tpu.train.state import create_train_state
+
+            state, _ = create_train_state(
+                model, jax.random.PRNGKey(0),
+                (1,) + tuple(image_size) + (3,), lr=1e-3,
+                milestones_steps=())
+            payload = {
+                "step": state.step,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+            }
+            restored = ckptr.restore(os.path.abspath(path), payload)
+            return {"params": restored["params"],
+                    "batch_stats": restored["batch_stats"]}
+        except Exception as exc:
+            last_exc = exc
+    raise last_exc
 
 
 def load_detector_weights(

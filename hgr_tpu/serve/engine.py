@@ -121,6 +121,11 @@ class MicroBatcher:
         self.metrics = metrics or ServeMetrics()
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # Orders submit()'s stop-check+enqueue against stop()'s
+        # flag-set: without it a submit that passed the check could
+        # enqueue AFTER stop() drained the queue, leaving its Future
+        # unresolved forever (the caller would sit in result()).
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, name=name, daemon=True)
         self._thread.start()
@@ -129,10 +134,11 @@ class MicroBatcher:
 
     def submit(self, x: np.ndarray) -> Future:
         """Enqueue one item; resolves to run_batch's per-item output."""
-        if self._stop.is_set():
-            raise RuntimeError("MicroBatcher is stopped")
         fut: Future = Future()
-        self._q.put((np.asarray(x), fut, time.monotonic()))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("MicroBatcher is stopped")
+            self._q.put((np.asarray(x), fut, time.monotonic()))
         return fut
 
     def __call__(self, x: np.ndarray, timeout: Optional[float] = None):
@@ -146,7 +152,8 @@ class MicroBatcher:
                 example, (b,) + tuple(example.shape)).copy())
 
     def stop(self, timeout: float = 5.0) -> None:
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()  # no submit can enqueue past this point
         self._q.put(None)  # wake the dispatcher
         self._thread.join(timeout=timeout)
         # fail any requests still queued

@@ -5,8 +5,10 @@ quantizes the GELAN backbone (infer/quant.py), and reports:
 
   * test macro-F1: bf16 float path vs int8 backbone (the accuracy cost
     of quantization, measured end-to-end through the eval pipeline);
-  * forward throughput at --bench_batch: bf16 vs int8 (crops/s);
-  * the quantized graph also round-trips StableHLO export.
+  * forward throughput at --bench_batch: bf16 vs int8 (crops/s).
+
+(That the quantized graph round-trips StableHLO export is covered by
+tests/test_quant.py::test_quantized_graph_exports_stablehlo, not here.)
 
 Usage (real chip):
   python -m hgr_tpu.tools.quant_bench --workdir /tmp/quantbench \

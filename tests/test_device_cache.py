@@ -104,11 +104,13 @@ class TestSnapshot:
         assert batches  # rebuilt from images without error
         # ... and the rewritten snapshot now matches the NEW index
         from hgr_tpu.data.device_cache import (
-            _flat_shapes, _snapshot_load, index_fingerprint)
+            _flat_shapes, _snapshot_load, index_fingerprint,
+            sizes_fingerprint)
 
         fp = index_fingerprint(idx, KW["canvas_size"], 21, 0.75)
         spec = _flat_shapes(len(idx), KW["canvas_size"], 21)
-        assert _snapshot_load(snap, fp, idx, len(idx), spec) is not None
+        assert _snapshot_load(snap, fp, lambda: sizes_fingerprint(idx),
+                              len(idx), spec) is not None
 
     def test_regenerated_images_invalidate_snapshot(self, fresh_split):
         """Same filenames + annotations but different pixel bytes (an

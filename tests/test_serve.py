@@ -238,6 +238,28 @@ def test_http_server_end_to_end(tiny_service):
             assert e.code in (400, 500)
         assert raised
 
+        # a float-normalized crop must be a 400, not a confidently
+        # classified all-zeros image (cli/serve.py dtype validation)
+        fbuf = io.BytesIO()
+        np.save(fbuf, crop.astype(np.float32) / 255.0)
+        fbad = urllib.request.Request(f"{base}/classify",
+                                      data=fbuf.getvalue(), method="POST")
+        try:
+            urllib.request.urlopen(fbad, timeout=10)
+            f_raised = False
+        except urllib.error.HTTPError as e:
+            f_raised = True
+            assert e.code == 400
+            assert "uint8" in json.loads(e.read())["error"]
+        assert f_raised
+        # but integral-valued float pixels in [0, 255] are accepted
+        ibuf = io.BytesIO()
+        np.save(ibuf, crop.astype(np.float64))
+        ireq = urllib.request.Request(f"{base}/classify",
+                                      data=ibuf.getvalue(), method="POST")
+        with urllib.request.urlopen(ireq, timeout=30) as r:
+            assert json.loads(r.read())["label"] == body["label"]
+
         with urllib.request.urlopen(f"{base}/stats", timeout=10) as r:
             stats = json.loads(r.read())
         assert stats["requests"] >= 1 and "latency_ms" in stats
