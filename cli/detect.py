@@ -29,7 +29,10 @@ def main():
     parser.add_argument('--save_path', type=str, default='result.mp4')
     parser.add_argument('--det_img_size', type=int, default=416)
     parser.add_argument('--cls_img_size', nargs='+', type=int,
-                        default=[192, 192])
+                        default=None,
+                        help='classifier crop geometry; default: the '
+                             "checkpoint's recorded run_meta.json, "
+                             'else 192 192')
     parser.add_argument('--score_thresh', type=float, default=0.2)
     parser.add_argument('--dtype', type=str, default='bfloat16',
                         choices=['bfloat16', 'float32'])
@@ -60,20 +63,22 @@ def main():
     from hgr_tpu.infer.weights import (
         load_classifier_weights,
         load_detector_weights,
+        resolve_image_size,
     )
 
     data_cfg = load_data_config(args.data_config)
     dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
 
+    cls_img_size = resolve_image_size(args.cls_weight, args.cls_img_size)
     cls_vars = load_classifier_weights(
-        args.cls_weight, image_size=tuple(args.cls_img_size))
+        args.cls_weight, image_size=cls_img_size)
     det_vars = load_detector_weights(args.det_weight,
                                      det_img_size=args.det_img_size)
 
     pipeline = HandGesturePipeline(
         cls_vars, det_vars, data_cfg.names,
         det_img_size=args.det_img_size,
-        cls_img_size=tuple(args.cls_img_size),
+        cls_img_size=cls_img_size,
         score_thresh=args.score_thresh, dtype=dtype)
 
     n = detect_to_video(pipeline, args.data_path, args.save_path,

@@ -19,8 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--data_config', type=str, required=True)
-    parser.add_argument('--image_size', nargs='+', type=int,
-                        default=[192, 192])
+    parser.add_argument('--image_size', nargs='+', type=int, default=None,
+                        help='crop geometry; default: the checkpoint\'s '
+                             'recorded run_meta.json, else 192 192')
     parser.add_argument('--weight_path', type=str, required=True,
                         help='orbax ckpt dir, .npz, or reference .ckpt')
     parser.add_argument('--out', type=str, default='',
@@ -70,11 +71,12 @@ def main():
     from hgr_tpu.infer.weights import (
         infer_backbone_variant,
         load_classifier_weights,
+        resolve_image_size,
     )
     from hgr_tpu.models import MultiTaskNet
 
     data_cfg = load_data_config(args.data_config)
-    image_size = (args.image_size[0], args.image_size[1])
+    image_size = resolve_image_size(args.weight_path, args.image_size)
     backbone = {'auto': 'auto', 'gelans': 'small',
                 'gelanl': 'large'}[args.backbone]
     variables = load_classifier_weights(args.weight_path, image_size,

@@ -85,12 +85,14 @@ def build_service(args):
     from hgr_tpu.infer.weights import (
         infer_backbone_variant,
         load_classifier_weights,
+        resolve_image_size,
     )
     from hgr_tpu.models import MultiTaskNet
     from hgr_tpu.serve import ClassifierService
 
     data_cfg = load_data_config(args.data)
-    image_size = tuple(args.image_size)
+    image_size = resolve_image_size(args.ckpt, args.image_size)
+    args.image_size = list(image_size)  # detector service reuses it
     backbone = {"auto": "auto", "gelans": "small",
                 "gelanl": "large"}[args.backbone]
     variables = load_classifier_weights(args.ckpt, image_size,
@@ -301,9 +303,10 @@ def main(argv=None):
                          "it from the weight tree (a mismatch would "
                          "serve silently wrong results — the variants "
                          "differ only in blocks-per-chain)")
-    ap.add_argument("--image_size", nargs=2, type=int, default=[192, 192],
-                    help="crop geometry the checkpoint was trained at "
-                         "(cli/train.py --image_size)")
+    ap.add_argument("--image_size", nargs=2, type=int, default=None,
+                    help="crop geometry the checkpoint was trained at; "
+                         "default: the checkpoint's recorded "
+                         "run_meta.json, else 192 192")
     ap.add_argument("--quantize", default=None,
                     help=".npy/.npz of uint8 calibration crops -> int8 "
                          "backbone")

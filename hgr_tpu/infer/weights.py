@@ -6,10 +6,52 @@ smoke runs.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def read_run_meta(path: str) -> Optional[Dict[str, Any]]:
+    """The training loop writes ``run_meta.json`` (backbone, image_size,
+    num_joints, num_classes, compute_dtype) next to its checkpoints
+    (train/loop.py:fit). Returns it, or None for artifacts that carry no
+    meta (bare .npz/.ckpt files, foreign checkpoints). Searched in the
+    checkpoint directory itself, then one level up (orbax paths are
+    ``<run>/weight/{best,last}``; the meta sits in ``<run>/weight/``)."""
+    if not path:
+        return None
+    p = os.path.abspath(path)
+    dirs = ([os.path.dirname(p)] if not os.path.isdir(p)
+            else [p, os.path.dirname(p)])
+    for d in dirs:
+        f = os.path.join(d, "run_meta.json")
+        if os.path.exists(f):
+            try:
+                import json
+
+                with open(f) as fh:
+                    return json.load(fh)
+            except (OSError, ValueError):
+                return None
+    return None
+
+
+def resolve_image_size(path: str, flag_value,
+                       default: Tuple[int, int] = (192, 192)
+                       ) -> Tuple[int, int]:
+    """Crop geometry for an inference surface: the explicit CLI flag
+    wins, then the checkpoint's recorded run_meta.json, then
+    ``default``. image_size never appears in a param shape, so a
+    mismatch can't be detected from the weights — recording it at train
+    time is the only guard against silently serving a 256-trained model
+    at 192."""
+    if flag_value:
+        return (int(flag_value[0]), int(flag_value[1]))
+    meta = read_run_meta(path)
+    if meta and meta.get("image_size"):
+        return tuple(int(v) for v in meta["image_size"])  # type: ignore
+    return default
 
 
 def infer_backbone_variant(variables: Dict[str, Any]) -> str:
@@ -85,7 +127,16 @@ def _restore_orbax(path: str, image_size: Tuple[int, int],
     from hgr_tpu.models import MultiTaskNet
 
     ckptr = ocp.StandardCheckpointer()
-    variants = (("small", "large") if backbone == "auto" else (backbone,))
+    if backbone == "auto":
+        meta = read_run_meta(path)
+        variants = ("small", "large")
+        if meta and meta.get("backbone") in variants:
+            # recorded variant first — the other stays as fallback in
+            # case the meta is stale/hand-edited
+            first = meta["backbone"]
+            variants = (first, "large" if first == "small" else "small")
+    else:
+        variants = (backbone,)
     last_exc: Exception = ValueError("no variant attempted")
     for variant in variants:
         model = MultiTaskNet(image_size=image_size, backbone=variant)

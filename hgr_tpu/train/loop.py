@@ -14,6 +14,7 @@ Orchestration parity with the reference MultiTaskModule/Trainer
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Any, Callable, Dict, Optional
@@ -300,6 +301,20 @@ def fit(
 
     logger = MetricLogger(log_dir, run_name)
     ckpt = CheckpointManager(os.path.join(save_path, "weight"))
+    # Record what the checkpoints ARE next to them: GELAN small/large
+    # share every param shape except blocks-per-chain and image_size
+    # never appears in a param shape, so without this inference surfaces
+    # can only guess (infer/weights.py reads it back; structure-based
+    # backbone autodetection stays the fallback for bare npz/ckpt files).
+    with open(os.path.join(save_path, "weight", "run_meta.json"),
+              "w") as f:
+        json.dump({
+            "backbone": model_cfg.backbone,
+            "image_size": list(model_cfg.image_size),
+            "num_joints": model_cfg.num_joints,
+            "num_classes": model_cfg.num_classes,
+            "compute_dtype": model_cfg.compute_dtype,
+        }, f, indent=2)
     train_metrics = EpochMetrics(num_classes)
     val_metrics = EpochMetrics(num_classes)
     key = jax.random.PRNGKey(train_cfg.seed)

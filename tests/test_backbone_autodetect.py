@@ -85,6 +85,38 @@ def test_orbax_auto_probes_large_template(tmp_path, large_vars):
     np.testing.assert_array_equal(np.asarray(leaf), np.asarray(want))
 
 
+def test_run_meta_absent_falls_back(tmp_path, small_vars):
+    from hgr_tpu.infer.export import save_weights_npz
+    from hgr_tpu.infer.weights import read_run_meta, resolve_image_size
+
+    path = str(tmp_path / "bare.npz")
+    save_weights_npz(small_vars, path)
+    assert read_run_meta(path) is None
+    assert resolve_image_size(path, None) == (192, 192)
+    assert resolve_image_size("", None, default=SIZE) == SIZE
+
+
+def test_run_meta_orders_orbax_probe(tmp_path, large_vars):
+    """With run_meta.json recorded, the orbax 'auto' path probes the
+    recorded variant first (one template init instead of a failed small
+    probe)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    wdir = tmp_path / "weight"
+    wdir.mkdir()
+    path = str(wdir / "best")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(large_vars))
+    ckptr.wait_until_finished()
+    (wdir / "run_meta.json").write_text(json.dumps(
+        {"backbone": "large", "image_size": list(SIZE)}))
+
+    loaded = load_classifier_weights(path, SIZE)
+    assert infer_backbone_variant(loaded) == "large"
+
+
 def test_pipeline_auto_selects_large(large_vars):
     from hgr_tpu.config import DEFAULT_NAMES
     from hgr_tpu.infer.detect import HandGesturePipeline

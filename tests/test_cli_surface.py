@@ -91,6 +91,18 @@ def test_train_export_detect_surface(fixture_dir):
     weight_dir = os.path.join(run_dir, "weight")
     assert os.path.isdir(os.path.join(weight_dir, "best"))
     assert os.path.isdir(os.path.join(weight_dir, "last"))
+    # fit() records what the checkpoints ARE (train/loop.py); inference
+    # CLIs default their geometry/backbone from this
+    meta = json.load(open(os.path.join(weight_dir, "run_meta.json")))
+    assert meta["backbone"] == "small"
+    assert meta["image_size"] == [64, 64]
+
+    from hgr_tpu.infer.weights import read_run_meta, resolve_image_size
+
+    ckpt_best = os.path.join(weight_dir, "best")
+    assert read_run_meta(ckpt_best)["image_size"] == [64, 64]
+    assert resolve_image_size(ckpt_best, None) == (64, 64)
+    assert resolve_image_size(ckpt_best, [96, 96]) == (96, 96)  # flag wins
     metrics_file = os.path.join(log_dir, "gelans_64x64_clitest",
                                 "metrics.jsonl")
     assert os.path.isfile(metrics_file)
@@ -107,7 +119,10 @@ def test_train_export_detect_surface(fixture_dir):
         "--host_device_count", "1"])
     assert os.path.exists(art), out
 
-    # --- detect: image-dir input -> mp4, reference flags ---
+    # --- detect: image-dir input -> mp4, reference flags. No
+    # --cls_img_size: the CLI must resolve 64x64 from run_meta.json (a
+    # wrong 192 fallback cannot restore the 64x64 orbax checkpoint, so
+    # the subprocess succeeding proves the resolution path). ---
     import cv2
 
     frames = root / "frames"
@@ -121,7 +136,7 @@ def test_train_export_detect_surface(fixture_dir):
         "--data_config", cfg,
         "--cls_weight", os.path.join(weight_dir, "best"),
         "--data_path", str(frames), "--save_path", result,
-        "--det_img_size", "160", "--cls_img_size", "64", "64",
+        "--det_img_size", "160",
         "--score_thresh", "-1", "--dtype", "float32",
         "--host_device_count", "1"])
     assert "processed 3 frames" in out
