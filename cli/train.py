@@ -54,6 +54,18 @@ def parse_args():
     parser.add_argument('--host_device_count', type=int, default=0,
                         help='simulate N virtual CPU devices (mesh testing '
                              'without hardware)')
+    parser.add_argument('--distributed', type=str, default='',
+                        metavar='HOST:PORT,NPROC,PID',
+                        help='multi-host data parallelism: connect this '
+                             'process to the jax.distributed coordination '
+                             'service (run one copy per host; --mesh then '
+                             'spans the GLOBAL device list and each '
+                             'process loads its own row-slice of every '
+                             'batch). save_dir/log_dir must be on storage '
+                             'all hosts can read. Rehearsable on one '
+                             'machine: two processes with '
+                             '--host_device_count (tests/'
+                             'test_distributed.py)')
     parser.add_argument('--profile', type=int, default=0, metavar='N',
                         help='capture a jax.profiler trace over the first '
                              'N train steps (written to '
@@ -105,11 +117,18 @@ def main():
 
     force_host_cpu(args.host_device_count)
 
+    if args.distributed:
+        from hgr_tpu.parallel import distributed
+
+        addr, nproc, pid = distributed.parse_spec(args.distributed)
+        distributed.initialize(addr, nproc, pid)
+
     import jax
 
     from hgr_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    is_main = jax.process_index() == 0
 
     from hgr_tpu.config import ModelConfig, TrainConfig, load_data_config
     from hgr_tpu.data.dataset import read_annotations
@@ -170,12 +189,41 @@ def main():
                          "replicate the cache across 'model' (see "
                          "hgr_tpu/data/device_cache.py)")
 
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # Multi-host scope: pure data parallelism over the global mesh.
+        # TP params would need cross-process sharded device_put of host
+        # arrays; the HBM cache would need per-process shard staging —
+        # both are single-host features today.
+        if tp_requested:
+            raise SystemExit("--distributed supports pure-DP meshes "
+                             "(data=N); tensor parallelism is "
+                             "single-host")
+        if args.device_cache:
+            raise SystemExit("--device_cache is single-host; use the "
+                             "streaming loader under --distributed")
+        if not mesh_shape:
+            raise SystemExit("--distributed requires --mesh data=N over "
+                             f"the global device count "
+                             f"({len(jax.devices())})")
+        if mesh_shape.get('data', 1) != len(jax.devices()):
+            raise SystemExit(
+                f"--distributed: mesh data axis must equal the global "
+                f"device count {len(jax.devices())}, got {mesh_shape}")
+        if args.batch_size % (n_proc * max(1, args.grad_accum)):
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must divide by "
+                f"num_processes x grad_accum "
+                f"({n_proc} x {args.grad_accum})")
+
     mesh = None
     if mesh_shape:
         from hgr_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(mesh_shape)
-        print(f"mesh: {mesh_shape}")
+        if is_main:
+            print(f"mesh: {mesh_shape}"
+                  + (f" over {n_proc} processes" if n_proc > 1 else ""))
 
     def make_loader(split_dir, shuffle, drop_last, cache=False):
         idx = read_annotations(split_dir, data_cfg.names)
@@ -184,6 +232,12 @@ def main():
             num_joints=data_cfg.num_joints, shuffle=shuffle, seed=args.seed,
             drop_last=drop_last, num_workers=args.num_workers,
             window_frac=window_frac)
+        if n_proc > 1:
+            # device-cache loaders are gated off above; the streaming
+            # loader materializes this process's row-slice of every
+            # global batch (identical global order on all processes).
+            kw.update(process_count=n_proc,
+                      process_index=jax.process_index())
         if cache and args.device_cache:
             snap = ''
             if args.cache_snapshot:
@@ -235,7 +289,8 @@ def main():
         ckpt = CheckpointManager(os.path.join(save_path, "weight"))
         if ckpt.has("last"):
             state = ckpt.restore(state, "last")
-            print(f"resumed from step {int(state.step)}")
+            if is_main:
+                print(f"resumed from step {int(state.step)}")
 
     tensor_parallel = False
     if mesh is not None:
@@ -244,7 +299,9 @@ def main():
         tensor_parallel = tp_requested
         state = shard_state(state, mesh, tensor_parallel)
 
-    print(f"{len(train_idx)} train samples, {steps_per_epoch} steps/epoch")
+    if is_main:
+        print(f"{len(train_idx)} train samples, "
+              f"{steps_per_epoch} steps/epoch")
     fit(model_cfg, train_cfg, data_cfg, state, train_loader, val_loader,
         test_loader, save_path=save_path, log_dir=args.log_dir,
         run_name=model_name, mesh=mesh, tensor_parallel=tensor_parallel,

@@ -66,8 +66,30 @@ class BatchLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         window_frac: float = 0.75,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
+        """``process_count``/``process_index`` > multi-host data
+        parallelism (parallel.distributed): every process walks the
+        IDENTICAL global batch order (same seed, same epoch counter, so
+        the shuffle permutation agrees everywhere) but decodes/stages
+        only its contiguous row-slice — rows [pi*B/N, (pi+1)*B/N) of
+        each global batch. parallel.mesh.shard_batch reassembles the
+        slices into the global device array, making the global batch
+        bit-identical to single-process training at the same
+        ``batch_size``."""
+        if batch_size % max(1, process_count):
+            raise ValueError(
+                f"batch_size {batch_size} must divide by process_count "
+                f"{process_count}")
+        if not (0 <= process_index < max(1, process_count)):
+            raise ValueError(
+                f"process_index {process_index} out of range for "
+                f"process_count {process_count}")
         self.index = index
+        self.process_count = max(1, process_count)
+        self.process_index = process_index
+        self.local_batch = batch_size // self.process_count
         self.batch_size = batch_size
         self.canvas_size = canvas_size
         self.window_frac = window_frac
@@ -107,7 +129,14 @@ class BatchLoader:
         return canvas, affine, (h, w), joints, vis, self._labels[i]
 
     def _assemble(self, ids: np.ndarray, valid: int) -> Dict[str, np.ndarray]:
-        bs = self.batch_size
+        # ``ids``/``valid`` describe the GLOBAL batch; materialize only
+        # this process's contiguous row-slice (process_count=1: all).
+        g_mask = np.zeros((self.batch_size,), np.float32)
+        g_mask[:valid] = 1.0
+        lo = self.process_index * self.local_batch
+        ids = ids[lo:lo + self.local_batch]
+        mask = g_mask[lo:lo + self.local_batch]
+        bs = self.local_batch
         cs = self.canvas_size
         batch = {
             "canvas": np.zeros((bs, cs, cs, 3), np.uint8),
@@ -117,8 +146,6 @@ class BatchLoader:
             "joints_vis": np.zeros((bs, self.num_joints), np.float32),
             "label": np.zeros((bs,), np.int32),
         }
-        mask = np.zeros((bs,), np.float32)
-        mask[:valid] = 1.0
         if self._native_batch(ids, batch):
             batch["valid"] = mask
             return batch

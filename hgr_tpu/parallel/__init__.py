@@ -14,3 +14,4 @@ from hgr_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from hgr_tpu.parallel.steps import make_parallel_train_step  # noqa: F401
+from hgr_tpu.parallel import distributed  # noqa: F401

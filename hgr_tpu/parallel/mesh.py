@@ -106,13 +106,34 @@ def param_shardings(
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """device_put a host batch with the batch sharded over 'data'."""
+    """Put a host batch onto the mesh with the batch dim sharded over
+    'data'.
+
+    Single-process: a plain device_put with the batch sharding.
+    Multi-process (jax.distributed initialized, mesh spans processes):
+    each process holds only its LOCAL row-slice of the global batch
+    (data.loader.BatchLoader(process_count, process_index)), and the
+    leaves are reassembled into global arrays with
+    ``jax.make_array_from_process_local_data`` — global row 0..B/N-1 is
+    process 0's slice, and so on, matching the loader's contiguous
+    slicing so the global batch is bit-identical to the single-process
+    one (tests/test_distributed.py).
+    """
     sh = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
+    nproc = jax.process_count()
+    multiproc = nproc > 1 and any(
+        d.process_index != jax.process_index()
+        for d in mesh.devices.flat)
     out = {}
     for k, v in batch.items():
         if np.ndim(v) == 0:
             out[k] = jax.device_put(v, rep)
+        elif multiproc:
+            local = np.asarray(v)
+            global_shape = (local.shape[0] * nproc,) + local.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(
+                sh, local, global_shape)
         else:
             out[k] = jax.device_put(v, sh)
     return out

@@ -74,6 +74,20 @@ class CheckpointManager:
             self._ckptr.save(path, payload, force=True)
             self._ckptr.wait_until_finished()
 
+        if jax.process_count() > 1:
+            # Multi-process: orbax's save IS a collective (it runs
+            # sync_global_processes barriers internally), so EVERY
+            # process must call it, from the MAIN thread, at the same
+            # program point — a coordinator-only or background-thread
+            # save interleaves orbax's barrier with the other
+            # processes' train-step collectives and the gloo/ICI
+            # streams desynchronize (observed: gloo EnforceNotMet size
+            # mismatch). Synchronous save; the primary host writes the
+            # (replicated, host-numpy) payload, the rest participate
+            # in the barriers only.
+            commit()
+            return
+
         self._writer = threading.Thread(
             target=commit, name=f"ckpt-write-{name}")
         self._writer.start()
@@ -94,9 +108,16 @@ class CheckpointManager:
         if self._best_metric is None or monitored < self._best_metric:
             self._best_metric = float(monitored)
             self._save("best", state)
-            with open(os.path.join(self.directory, "best_metric.txt"),
-                      "w") as f:
-                f.write(str(self._best_metric))
+            import jax
+
+            # Multi-process: the improvement decision is replicated
+            # (metrics come out of the step with P() sharding) so every
+            # process takes this branch in lockstep, but only the
+            # coordinator touches the sidecar file.
+            if jax.process_index() == 0:
+                with open(os.path.join(self.directory, "best_metric.txt"),
+                          "w") as f:
+                    f.write(str(self._best_metric))
             return True
         return False
 

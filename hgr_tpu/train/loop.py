@@ -144,12 +144,19 @@ def train_epoch(
         metrics.update(m)
         if debug_hook is not None and i % debug_every == 0:
             debug_hook(state, batch, int(state.step))
-        if logger is not None and i % log_every == 0:
+        if i % log_every == 0 and (
+                logger is not None or jax.process_count() > 1):
+            # Multi-process: EVERY process must build the snapshot at
+            # the same cadence — it launches computations over global
+            # (all-process) arrays, and only-the-coordinator-running-
+            # them desynchronizes the collective streams. The
+            # coordinator alone writes the line.
             line = {f"{prefix}/{k}": v
                     for k, v in metrics.snapshot().items()}
             if lr_fn is not None:
                 line["lr"] = float(lr_fn(int(state.step)))
-            logger.log(int(state.step), line)
+            if logger is not None:
+                logger.log(int(state.step), line)
         i += 1
     if tracing:  # epoch shorter than profile_steps
         jax.profiler.stop_trace()
@@ -208,6 +215,20 @@ def fit(
     """
     num_classes = data_cfg.num_classes
     aug = data_cfg.augments
+
+    # Multi-process (parallel.distributed): process 0 owns every side
+    # effect — metric logs, checkpoint writes, stdout — while all
+    # processes run the identical device program (metrics come out
+    # replicated, so every process COULD log; only one should).
+    n_proc = jax.process_count()
+    is_main = n_proc == 1 or jax.process_index() == 0
+    if debug_images and n_proc > 1:
+        # debug dumps device_get batch-sharded outputs, which are not
+        # fully addressable across processes; the dumps are a debugging
+        # aid — run single-process when you need them.
+        if is_main:
+            print("debug_images disabled under multi-process execution")
+        debug_images = False
 
     step_kw = dict(
         num_classes=num_classes, sigma=train_cfg.sigma,
@@ -299,22 +320,23 @@ def fit(
             _dump(st, _val_batch_cache[0], f"val_{epoch}",
                   with_attention=True)
 
-    logger = MetricLogger(log_dir, run_name)
+    logger = MetricLogger(log_dir, run_name) if is_main else None
     ckpt = CheckpointManager(os.path.join(save_path, "weight"))
     # Record what the checkpoints ARE next to them: GELAN small/large
     # share every param shape except blocks-per-chain and image_size
     # never appears in a param shape, so without this inference surfaces
     # can only guess (infer/weights.py reads it back; structure-based
     # backbone autodetection stays the fallback for bare npz/ckpt files).
-    with open(os.path.join(save_path, "weight", "run_meta.json"),
-              "w") as f:
-        json.dump({
-            "backbone": model_cfg.backbone,
-            "image_size": list(model_cfg.image_size),
-            "num_joints": model_cfg.num_joints,
-            "num_classes": model_cfg.num_classes,
-            "compute_dtype": model_cfg.compute_dtype,
-        }, f, indent=2)
+    if is_main:
+        with open(os.path.join(save_path, "weight", "run_meta.json"),
+                  "w") as f:
+            json.dump({
+                "backbone": model_cfg.backbone,
+                "image_size": list(model_cfg.image_size),
+                "num_joints": model_cfg.num_joints,
+                "num_classes": model_cfg.num_classes,
+                "compute_dtype": model_cfg.compute_dtype,
+            }, f, indent=2)
     train_metrics = EpochMetrics(num_classes)
     val_metrics = EpochMetrics(num_classes)
     key = jax.random.PRNGKey(train_cfg.seed)
@@ -332,35 +354,51 @@ def fit(
         tr = train_metrics.snapshot()
 
         val = eval_epoch(state, eval_step, val_loader, val_metrics)
-        logger.log(int(state.step),
-                   {**{f"train/{k}": v for k, v in tr.items()},
-                    **{f"val/{k}": v for k, v in val.items()},
-                    "epoch": epoch,
-                    **({"lr": float(lr_fn(int(state.step)))}
-                       if lr_fn is not None else {}),
-                    "epoch_time_s": time.time() - t0})
+        if logger is not None:
+            logger.log(int(state.step),
+                       {**{f"train/{k}": v for k, v in tr.items()},
+                        **{f"val/{k}": v for k, v in val.items()},
+                        "epoch": epoch,
+                        **({"lr": float(lr_fn(int(state.step)))}
+                           if lr_fn is not None else {}),
+                        "epoch_time_s": time.time() - t0})
 
+        # val metrics are replicated (out_shardings=P()), so every
+        # process computes the SAME best-checkpoint decision — and
+        # every process MUST make the calls: orbax saves are collective
+        # under multi-process (CheckpointManager._save runs them
+        # synchronously there; the primary host does the writing).
         ckpt.save_last(state)
         ckpt.maybe_save_best(state, val["total_loss"])
         if dump_val_debug is not None:
             dump_val_debug(state, epoch)
-        print(f"epoch {epoch}: train_loss={tr['total_loss']:.4f} "
-              f"val_loss={val['total_loss']:.4f} "
-              f"val_f1={val['epoch_f1']:.4f} "
-              f"val_pose_acc={val['pose_acc']:.4f}")
+        if is_main:
+            print(f"epoch {epoch}: train_loss={tr['total_loss']:.4f} "
+                  f"val_loss={val['total_loss']:.4f} "
+                  f"val_f1={val['epoch_f1']:.4f} "
+                  f"val_pose_acc={val['pose_acc']:.4f}")
 
     if test_loader is not None:
+        # Multi-process: saves were synchronous collectives on every
+        # process, so the writes are globally ordered before this
+        # restore (which is itself a collective all processes enter
+        # here). Requires save_path on storage all hosts can read
+        # (GCS/NFS on real pods; one filesystem in the rehearsal).
         best_state = ckpt.restore(state, "best") if ckpt.has("best") else state
         test_metrics = EpochMetrics(num_classes)
         test = eval_epoch(best_state, eval_step, test_loader, test_metrics)
-        print("Test F1 Score: {:.4f}".format(test["epoch_f1"]))
-        logger.log(int(state.step),
-                   {f"test/{k}": v for k, v in test.items()})
-        _save_confusion_png(
-            np.asarray(test_metrics.conf), list(data_cfg.names.keys()),
-            os.path.join(save_path, "confusion_matrix.png"))
+        if is_main:
+            print("Test F1 Score: {:.4f}".format(test["epoch_f1"]))
+        if logger is not None:
+            logger.log(int(state.step),
+                       {f"test/{k}": v for k, v in test.items()})
+        if is_main:
+            _save_confusion_png(
+                np.asarray(test_metrics.conf), list(data_cfg.names.keys()),
+                os.path.join(save_path, "confusion_matrix.png"))
     ckpt.wait()  # commit any in-flight async checkpoint before returning
-    logger.close()
+    if logger is not None:
+        logger.close()
     return state
 
 

@@ -19,12 +19,19 @@ def force_host_cpu(device_count: int) -> None:
     """
     if not device_count:
         return
+    import re
+
     flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags +
-            f" --xla_force_host_platform_device_count={device_count}"
-        ).strip()
+    new_flag = f"--xla_force_host_platform_device_count={device_count}"
+    if "host_platform_device_count" in flags:
+        # An explicit flag wins over an inherited environment value
+        # (e.g. a parent test process exporting 8 while this process
+        # was asked for 4).
+        flags = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", new_flag, flags)
+        os.environ["XLA_FLAGS"] = flags
+    else:
+        os.environ["XLA_FLAGS"] = (flags + " " + new_flag).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
