@@ -283,21 +283,32 @@ def main():
         (1, image_size[0], image_size[1], 3),
         lr=args.lr, milestones_steps=milestones, lr_factor=args.lr_factor)
 
-    if args.resume:
-        from hgr_tpu.train.checkpoint import CheckpointManager
-
-        ckpt = CheckpointManager(os.path.join(save_path, "weight"))
-        if ckpt.has("last"):
-            state = ckpt.restore(state, "last")
-            if is_main:
-                print(f"resumed from step {int(state.step)}")
-
     tensor_parallel = False
     if mesh is not None:
         from hgr_tpu.parallel.steps import shard_state
 
         tensor_parallel = tp_requested
         state = shard_state(state, mesh, tensor_parallel)
+
+    if args.resume:
+        from hgr_tpu.train.checkpoint import CheckpointManager
+
+        from hgr_tpu.parallel.distributed import coordinator_decision
+
+        ckpt = CheckpointManager(os.path.join(save_path, "weight"))
+        # restore is a collective under multi-process; every process
+        # must take the coordinator's branch (has() reads shared fs).
+        # Runs AFTER shard_state: the restore template must carry the
+        # same GLOBAL sharding on every process — fresh
+        # create_train_state arrays are committed to each process's own
+        # first local device, and orbax restoring into per-process
+        # single-device shardings attempts an unsupported cross-host
+        # transfer (fit()'s internal 'best' restore already uses the
+        # sharded template for the same reason).
+        if coordinator_decision(ckpt.has("last")):
+            state = ckpt.restore(state, "last")
+            if is_main:
+                print(f"resumed from step {int(state.step)}")
 
     if is_main:
         print(f"{len(train_idx)} train samples, "

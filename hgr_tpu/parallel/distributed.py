@@ -95,6 +95,25 @@ def is_coordinator() -> bool:
     return process_index() == 0
 
 
+def coordinator_decision(value: bool) -> bool:
+    """Adopt the COORDINATOR's boolean on every process.
+
+    Any branch that leads into a collective (orbax save/restore,
+    sharded computation) must be taken identically everywhere; when the
+    branch condition reads shared storage (``CheckpointManager.has``),
+    an eventually-consistent filesystem can make processes disagree.
+    Single-process: returns ``value`` unchanged.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return value
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    return bool(multihost_utils.broadcast_one_to_all(np.int32(value)))
+
+
 def barrier(name: str = "hgr_barrier") -> None:
     """Block until every process reaches this point (a psum over all
     global devices under the hood). Used to order checkpoint WRITES

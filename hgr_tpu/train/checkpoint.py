@@ -42,7 +42,30 @@ class CheckpointManager:
                     self._best_metric = float(f.read().strip())
             except (OSError, ValueError):
                 pass
+        self._sync_best_metric()
         self._ckptr = _ocp().StandardCheckpointer()
+
+    def _sync_best_metric(self) -> None:
+        """Multi-process: adopt the COORDINATOR's seeded best metric on
+        every process. The sidecar best_metric.txt lives on shared
+        storage; on an eventually-consistent filesystem (GCS) a
+        non-coordinator can read a stale value, and since saving 'best'
+        is a COLLECTIVE (see _save), processes disagreeing on whether
+        the metric improved would desynchronize the collective streams.
+        Every construction site runs at the same program point on all
+        processes (fit start / CLI resume), so the broadcast is safe.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        local = np.float64(
+            np.nan if self._best_metric is None else self._best_metric)
+        synced = float(multihost_utils.broadcast_one_to_all(local))
+        self._best_metric = None if np.isnan(synced) else synced
 
     def _save(self, name: str, state) -> None:
         import threading

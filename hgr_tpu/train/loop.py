@@ -383,8 +383,13 @@ def fit(
         # process, so the writes are globally ordered before this
         # restore (which is itself a collective all processes enter
         # here). Requires save_path on storage all hosts can read
-        # (GCS/NFS on real pods; one filesystem in the rehearsal).
-        best_state = ckpt.restore(state, "best") if ckpt.has("best") else state
+        # (GCS/NFS on real pods; one filesystem in the rehearsal). The
+        # has() probe reads that storage — adopt the coordinator's
+        # answer so every process takes the same (collective) branch.
+        from hgr_tpu.parallel.distributed import coordinator_decision
+
+        use_best = coordinator_decision(ckpt.has("best"))
+        best_state = ckpt.restore(state, "best") if use_best else state
         test_metrics = EpochMetrics(num_classes)
         test = eval_epoch(best_state, eval_step, test_loader, test_metrics)
         if is_main:

@@ -206,3 +206,30 @@ def test_two_process_training_matches_single_process(fixture_dir):
     np.testing.assert_allclose(dp_val, sp_val, rtol=2e-4, atol=2e-5)
     assert sp_f1 is not None and dp_f1 is not None
     assert abs(sp_f1 - dp_f1) < 1e-6
+
+    # --- resume: all processes restore the shared 'last' checkpoint
+    # (orbax restore is a collective; best_metric seeding broadcasts
+    # from the coordinator) and train one more epoch.
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        cmd = _train_cmd(cfg, dp_save, dp_logs, "dp",
+                         ["--host_device_count", "4", "--mesh", "data=8",
+                          "--distributed", f"127.0.0.1:{port},2,{pid}",
+                          "--resume"])
+        cmd[cmd.index("--epochs") + 1] = "1"
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env))
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (
+            f"distributed resume failed rc={p.returncode}\n"
+            f"stdout:\n{out[-3000:]}\nstderr:\n{err[-3000:]}")
+        if p is procs[0]:
+            assert "resumed from step" in out
