@@ -145,21 +145,30 @@ def main():
 
     image_size = (args.image_size[0], args.image_size[1])
     # Tensor-parallel meshes shard the ViT qkv feature dim on 'model' —
-    # keep the GSPMD-shardable XLA attention there (vit.Attention.fused).
-    # A degenerate 'model=1' axis is NOT tensor-parallel: it keeps the
-    # fused kernel (same predicate drives shard_state below).
+    # the head-sharded 'split' form keeps the fused Pallas attention
+    # there (each chip computes its local head group,
+    # ops/attention_pallas.py:fused_attention_split); only a model axis
+    # that does not divide the head count falls back to the GSPMD
+    # XLA chain. A degenerate 'model=1' axis is NOT tensor-parallel: it
+    # keeps the packed kernel (same predicate drives shard_state below).
     mesh_shape = {}
     if args.mesh:
         mesh_shape = {k: int(v) for k, v in
                       (kv.split('=') for kv in args.mesh.split(','))}
     tp_requested = mesh_shape.get('model', 1) > 1
+    if not tp_requested:
+        fused_attention = True
+    elif ModelConfig.heads % mesh_shape['model'] == 0:
+        fused_attention = "split"
+    else:
+        fused_attention = False
     model_cfg = ModelConfig(
         num_joints=data_cfg.num_joints,
         num_classes=data_cfg.num_classes,
         image_size=image_size,
         backbone='large' if args.backbone == 'gelanl' else 'small',
         compute_dtype=args.dtype,
-        fused_attention=not tp_requested,
+        fused_attention=fused_attention,
         remat=args.remat,
     )
     train_cfg = TrainConfig(

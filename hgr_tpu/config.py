@@ -9,7 +9,7 @@ downstream component is jit-/static-shape friendly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import yaml
 
@@ -96,9 +96,11 @@ class ModelConfig:
     mlp_dim: int = 256
     # TPU knobs (no reference equivalent — compute dtype selection).
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
-    # Fused Pallas attention; set False under tensor-parallel meshes
-    # where the qkv feature dim is 'model'-sharded (vit.Attention.fused).
-    fused_attention: bool = True
+    # Fused Pallas attention routing (vit.Attention.fused): True = packed
+    # kernel (single-device / data-parallel); 'split' = head-sharded
+    # kernel for tensor-parallel meshes (heads must divide the model
+    # axis); False = unfused XLA chain.
+    fused_attention: Any = True
     # Rematerialize the backbone body and the pose head in the backward
     # pass (models/gelan.py GELANNet.remat, models/vit.py
     # ViT.remat_pose_head): ~8 GB less live HBM at B=1024 for one extra

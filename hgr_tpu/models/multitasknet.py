@@ -39,9 +39,10 @@ class MultiTaskNet(nn.Module):
     mlp_dim: int = 256
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    # False routes attention through the GSPMD-shardable XLA chain —
-    # required under tensor-parallel meshes (see vit.Attention.fused).
-    fused_attention: bool = True
+    # True = packed Pallas core; 'split' = head-sharded Pallas core for
+    # tensor-parallel meshes; False = unfused XLA chain (see
+    # vit.Attention.fused).
+    fused_attention: Any = True
     # Backward-pass remat of the backbone body and the pose head
     # (gelan.GELANNet.remat, vit.ViT.remat_pose_head) — memory for FLOPs.
     remat: bool = False

@@ -34,6 +34,7 @@ from hgr_tpu.models.layers import torch_bias_init, torch_kernel_init
 from hgr_tpu.ops.attention_pallas import (
     _xla_attention_core,
     fused_attention_qkv,
+    fused_attention_split,
     split_heads,
 )
 from hgr_tpu.ops.posemb import pos_emb_sincos_2d
@@ -77,12 +78,17 @@ class Attention(nn.Module):
     head_dim: int
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    # Batch-partitioned fused attention assumes the feature dim is
-    # replicated; under a tensor-parallel mesh (qkv column-sharded on
-    # 'model') it would force a per-layer all-gather, so TP callers
-    # build the model with fused=False and keep the GSPMD-sharded XLA
-    # chain (parallel/steps.py TP_RULES).
-    fused: bool = True
+    # Fused-attention routing:
+    #   True    — packed-qkv Pallas core (single device / data-parallel
+    #             meshes; batch-dim partitioning only).
+    #   'split' — same kernel fed q, k, v as separate operands with a
+    #             head-sharded partitioning rule: tensor-parallel meshes
+    #             (qkv column-sharded on 'model') keep the fused core,
+    #             each device computing its local head group
+    #             (ops/attention_pallas.py:fused_attention_split).
+    #   False   — unfused XLA chain (GSPMD shards it freely; the only
+    #             choice when heads don't divide the model axis).
+    fused: Any = True
 
     @nn.compact
     def __call__(self, x: Array,
@@ -109,6 +115,15 @@ class Attention(nn.Module):
             if not need_map:
                 attn = None
             out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        elif self.fused == "split":
+            # tensor-parallel form: the packed dim can't be head-sharded
+            # (contiguous 'model' sharding would mix q and k columns),
+            # but each THIRD is head-aligned — split here, and the
+            # head-partitioned rule runs the kernel per local head group
+            attn = None
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = fused_attention_split(q, k, v, self.heads, self.head_dim,
+                                        scale, False, self.precision)
         else:
             # fused Pallas core on TPU, fed the packed qkv directly: the
             # N×N score/attention tensors never reach HBM and the
@@ -137,7 +152,7 @@ class Transformer(nn.Module):
     mlp_dim: int
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    fused: bool = True  # see Attention.fused
+    fused: Any = True  # see Attention.fused
 
     @nn.compact
     def __call__(self, x: Array,
@@ -178,7 +193,7 @@ class ViT(nn.Module):
     mlp_dim: int
     dtype: Dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
-    fused: bool = True  # see Attention.fused
+    fused: Any = True  # see Attention.fused
     # Rematerialize the pose head (x4 upsample -> ReLU -> 1x1 conv) in
     # the backward: its (B, 4h, 4w, dim) intermediates are the largest
     # decoder tensors (~1-2 GB at B=1024) and recompute from the

@@ -277,6 +277,119 @@ def _xla_attention_qkv_bwd(qkv, g_out, heads, head_dim, scale):
         [merge_heads(t).astype(qkv.dtype) for t in (dq, dk, dv)], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Split-operand variant for tensor-parallel meshes.
+#
+# The packed (B, N, 3·H·D) layout cannot be head-sharded: contiguous
+# 'model'-axis sharding of the packed dim mixes q columns with k columns
+# on every device. Taking q, k, v as THREE (B, N, H·D) operands makes
+# each one head-aligned under contiguous sharding (H·D / tp is a whole
+# number of heads), so a head-partitioned custom_partitioning rule
+# (ops/partitioning.py:head_partitioned) can run the SAME VMEM kernel on
+# each device's local head group — attention has no cross-head math.
+# This is what lets TP meshes keep the fused Pallas core instead of
+# falling back to the XLA chain (models/vit.py Attention.fused='split').
+
+
+def _split_fwd_impl(q: Array, k: Array, v: Array, heads: int, head_dim: int,
+                    scale: float, interpret: bool = False) -> Array:
+    # split → concat is a no-op for XLA when shardings agree; under TP it
+    # is exactly the local repack the kernel's q|k|v layout needs.
+    return _attention_qkv_impl(jnp.concatenate([q, k, v], axis=-1),
+                               heads, head_dim, scale, interpret)
+
+
+def _split_bwd_impl(q: Array, k: Array, v: Array, g_out: Array, heads: int,
+                    head_dim: int, scale: float, interpret: bool = False):
+    d = _attention_qkv_bwd_impl(jnp.concatenate([q, k, v], axis=-1), g_out,
+                                heads, head_dim, scale, interpret)
+    hd = heads * head_dim
+    return d[..., :hd], d[..., hd:2 * hd], d[..., 2 * hd:]
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_split_fwd(heads: int, head_dim: int, scale: float,
+                       interpret: bool):
+    from hgr_tpu.ops.partitioning import head_partitioned
+
+    def make(h):
+        return lambda q, k, v: _split_fwd_impl(q, k, v, h, head_dim, scale,
+                                               interpret)
+
+    return head_partitioned(make(heads), make, heads, head_dim,
+                            sharding_rule="b n h, b n h, b n h -> b n h")
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_split_bwd(heads: int, head_dim: int, scale: float,
+                       interpret: bool):
+    from hgr_tpu.ops.partitioning import head_partitioned
+
+    def make(h):
+        return lambda q, k, v, g: _split_bwd_impl(q, k, v, g, h, head_dim,
+                                                  scale, interpret)
+
+    return head_partitioned(
+        make(heads), make, heads, head_dim,
+        sharding_rule="b n h, b n h, b n h, b n h -> b n h, b n h, b n h")
+
+
+def _heads_first(t: Array, heads: int, head_dim: int) -> Array:
+    b, n, _ = t.shape
+    return t.reshape(b, n, heads, head_dim).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_attention_split(q: Array, k: Array, v: Array, heads: int,
+                          head_dim: int, scale: float,
+                          interpret: bool = False, precision=None) -> Array:
+    """``fused_attention_qkv`` taking q, k, v as separate (B, N, H·D)
+    operands — the head-shardable form for tensor-parallel meshes.
+
+    Same kernel, same numerics (f32 softmax stats, attn cast to the
+    compute dtype before the value matmul). On multi-device processes
+    the head-partitioned rule shards dim 2 over the mesh's 'model' axes
+    and dim 0 over the data axes; single-device and non-TPU paths match
+    the packed variant's routing.
+    """
+    if not _HAS_PLTPU or (not interpret
+                          and jax.default_backend() not in ("tpu", "axon")):
+        out = _xla_attention_core(
+            _heads_first(q, heads, head_dim),
+            _heads_first(k, heads, head_dim),
+            _heads_first(v, heads, head_dim), scale, precision)
+        return merge_heads(out)
+    from hgr_tpu.ops.partitioning import multi_device
+
+    if multi_device():
+        return _sharded_split_fwd(heads, head_dim, scale, interpret)(q, k, v)
+    return _split_fwd_impl(q, k, v, heads, head_dim, scale, interpret)
+
+
+def _split_vjp_fwd(q, k, v, heads, head_dim, scale, interpret, precision):
+    return (fused_attention_split(q, k, v, heads, head_dim, scale, interpret,
+                                  precision), (q, k, v))
+
+
+def _split_vjp_bwd(heads, head_dim, scale, interpret, precision, res, g_out):
+    q, k, v = res
+    if not _HAS_PLTPU or (not interpret
+                          and jax.default_backend() not in ("tpu", "axon")):
+        d = _xla_attention_qkv_bwd(jnp.concatenate([q, k, v], axis=-1), g_out,
+                                   heads, head_dim, scale)
+        hd = heads * head_dim
+        return d[..., :hd], d[..., hd:2 * hd], d[..., 2 * hd:]
+    from hgr_tpu.ops.partitioning import multi_device
+
+    if multi_device():
+        return _sharded_split_bwd(heads, head_dim, scale,
+                                  interpret)(q, k, v, g_out)
+    return _split_bwd_impl(q, k, v, g_out, heads, head_dim, scale, interpret)
+
+
+fused_attention_split.defvjp(_split_vjp_fwd, _split_vjp_bwd)
+
+
 def _fwd(qkv, heads, head_dim, scale, interpret, precision):
     return (fused_attention_qkv(qkv, heads, head_dim, scale, interpret,
                                 precision), qkv)

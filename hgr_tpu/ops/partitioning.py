@@ -75,6 +75,78 @@ def batch_partitioned(impl: Callable, sharding_rule: str = None) -> Callable:
     return cp
 
 
+def _dim_axes(arg_shapes, dim: int):
+    """The mesh axes any operand's dimension ``dim`` is sharded on
+    (first non-replicated wins — same rationale as ``_batch_axes``)."""
+    for a in arg_shapes:
+        spec = getattr(a.sharding, "spec", None)
+        if spec is not None and len(spec) > dim and spec[dim] is not None:
+            return spec[dim]
+    return None
+
+
+def _axes_size(mesh, axes) -> int:
+    if axes is None:
+        return 1
+    if not isinstance(axes, tuple):
+        axes = (axes,)
+    size = 1
+    for ax in axes:
+        size *= mesh.shape[ax]
+    return size
+
+
+def head_partitioned(full_impl: Callable, make_local: Callable[[int], Callable],
+                     heads: int, head_dim: int,
+                     sharding_rule: str = None) -> Callable:
+    """Head-AND-batch partitioning for the split-operand attention
+    kernels (tensor-parallel meshes).
+
+    Every operand and result is rank-3 ``(B, N, H·D)`` (or ``H·D``-sized
+    gradients thereof): dim 0 is batch (sharded over the data axes), dim
+    1 is the token dim (replicated), dim 2 is the packed per-head
+    feature dim. Under Megatron-style TP the feature dim is contiguously
+    sharded over the 'model' axis, and because ``H·D / tp`` stays a
+    whole number of heads, each device's shard is a complete head group
+    — attention has no cross-head math, so the lowering is simply
+    ``make_local(heads // tp)`` run on the local shard. Batch sharding
+    composes freely (DP×TP meshes).
+
+    ``full_impl`` (all heads) is what traces for abstract evaluation and
+    what runs when the partitioner is not engaged.
+    """
+    cp = custom_partitioning(full_impl)
+
+    def _shardings(mesh, arg_shapes, result_shape):
+        b = _dim_axes(arg_shapes, 0)
+        m = _dim_axes(arg_shapes, 2)
+        sh = NamedSharding(mesh, P(b, None, m))
+        many = isinstance(result_shape, (list, tuple))
+        results = tuple(sh for _ in result_shape) if many else sh
+        return b, m, sh, results
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _shardings(mesh, arg_shapes, result_shape)[3]
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, m, sh, results = _shardings(mesh, arg_shapes, result_shape)
+        tp = _axes_size(mesh, m)
+        if heads % tp != 0:
+            raise ValueError(
+                f"head-partitioned attention: {heads} heads do not divide "
+                f"over a model axis of size {tp}; build the model with "
+                f"fused_attention=False for this mesh")
+        local = make_local(heads // tp)
+        arg_shardings = tuple(sh for _ in arg_shapes)
+        return mesh, local, results, arg_shardings
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=sharding_rule)
+    return cp
+
+
 def multi_device() -> bool:
     """True when SPMD partitioning can apply (more than one device)."""
     return jax.device_count() > 1

@@ -137,3 +137,112 @@ def test_attention_grad_through_mesh_jit():
     np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
                                atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Head-sharded split-operand attention (tensor-parallel meshes) —
+# ops/partitioning.py:head_partitioned + attention_pallas.fused_attention_split.
+# Under a {data, model} mesh the q/k/v feature dims shard contiguously on
+# 'model'; each device must run the SAME kernel on its local head group
+# and reproduce the full-head result exactly (attention has no cross-head
+# math).
+
+
+def _tp_mesh():
+    n = len(jax.devices())
+    return make_mesh({"data": 2, "model": n // 2})
+
+
+def test_attention_split_fwd_tp_matches_single():
+    from hgr_tpu.ops.attention_pallas import _sharded_split_fwd
+
+    mesh = _tp_mesh()
+    rng = np.random.RandomState(5)
+    qkv = jnp.asarray(rng.randn(8, N, 3 * H * D), jnp.float32)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    want = _attention_qkv_impl(qkv, H, D, SCALE, True)
+
+    op = _sharded_split_fwd(H, D, SCALE, True)
+    sh = NamedSharding(mesh, P("data", None, "model"))
+    got = jax.jit(op)(jax.device_put(q, sh), jax.device_put(k, sh),
+                      jax.device_put(v, sh))
+    assert got.shape == (8, N, H * D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_attention_split_bwd_tp_matches_single():
+    from hgr_tpu.ops.attention_pallas import (_sharded_split_bwd,
+                                              _split_bwd_impl)
+
+    mesh = _tp_mesh()
+    rng = np.random.RandomState(6)
+    qkv = jnp.asarray(rng.randn(4, N, 3 * H * D), jnp.float32)
+    g = jnp.asarray(rng.randn(4, N, H * D), jnp.float32)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    want = _split_bwd_impl(q, k, v, g, H, D, SCALE, True)
+
+    op = _sharded_split_bwd(H, D, SCALE, True)
+    sh = NamedSharding(mesh, P("data", None, "model"))
+    got = jax.jit(op)(jax.device_put(q, sh), jax.device_put(k, sh),
+                      jax.device_put(v, sh), jax.device_put(g, sh))
+    assert len(got) == 3
+    for gi, wi in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_attention_split_grad_through_tp_mesh_jit():
+    """value_and_grad of a TP-mesh-jitted loss through the split kernel
+    matches the unsharded XLA attention chain (forward AND gradients)."""
+    from hgr_tpu.ops.attention_pallas import (_xla_attention_core,
+                                              fused_attention_split,
+                                              merge_heads, split_heads)
+
+    mesh = _tp_mesh()
+    rng = np.random.RandomState(7)
+    qkv = jnp.asarray(rng.randn(4, N, 3 * H * D), jnp.float32)
+    q0, k0, v0 = jnp.split(qkv, 3, axis=-1)
+
+    def loss_split(q, k, v):
+        out = fused_attention_split(q, k, v, H, D, SCALE, True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_chain(q, k, v):
+        qh, kh, vh = split_heads(jnp.concatenate([q, k, v], -1), H, D)
+        return jnp.sum(jnp.sin(
+            merge_heads(_xla_attention_core(qh, kh, vh, SCALE))))
+
+    want_v, want_g = jax.value_and_grad(loss_chain, argnums=(0, 1, 2))(
+        q0, k0, v0)
+
+    sh = NamedSharding(mesh, P("data", None, "model"))
+    args = tuple(jax.device_put(t, sh) for t in (q0, k0, v0))
+    got_v, got_g = jax.jit(
+        jax.value_and_grad(loss_split, argnums=(0, 1, 2)),
+        in_shardings=(sh, sh, sh))(*args)
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
+    for gi, wi in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_model_split_mode_matches_chain_outputs():
+    """Plumbing: MultiTaskNet(fused_attention='split') produces the same
+    outputs as the unfused chain (on CPU the split core routes through
+    its XLA fallback — this pins the vit.Attention wiring, shapes, and
+    param-tree compatibility of the mode)."""
+    from hgr_tpu.models.multitasknet import MultiTaskNet
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    m_split = MultiTaskNet(image_size=(64, 64), fused_attention="split")
+    m_chain = MultiTaskNet(image_size=(64, 64), fused_attention=False)
+    variables = m_split.init(jax.random.PRNGKey(0), x, train=False,
+                             need_attnmap=False)
+    cs, hs, _ = m_split.apply(variables, x, train=False, need_attnmap=False)
+    cc, hc, _ = m_chain.apply(variables, x, train=False, need_attnmap=False)
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(cc),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hc),
+                               atol=1e-5, rtol=1e-5)
