@@ -20,11 +20,20 @@ directly (identical lowering, no partitioner involvement).
 
 from __future__ import annotations
 
+import os
+from collections import Counter
 from typing import Callable
 
 import jax
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+# How many times each custom_partitioning callback actually fired, keyed
+# by '<rule>.<callback>'. The partitioner only invokes these during
+# lowering of a mesh-sharded jit — a drive that claims "the kernels went
+# through GSPMD partitioning" can (and should) assert these moved
+# (tools/sharded_onechip.py does).
+CALLBACK_COUNTS: Counter = Counter()
 
 
 def _batch_axes(arg_shapes):
@@ -55,11 +64,13 @@ def batch_partitioned(impl: Callable, sharding_rule: str = None) -> Callable:
     cp = custom_partitioning(impl)
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        CALLBACK_COUNTS["batch.infer"] += 1
         b = _batch_axes(arg_shapes)
         return NamedSharding(
             mesh, P(b, *([None] * (len(result_shape.shape) - 1))))
 
     def partition(mesh, arg_shapes, result_shape):
+        CALLBACK_COUNTS["batch.partition"] += 1
         b = _batch_axes(arg_shapes)
         arg_shardings = tuple(
             NamedSharding(mesh, P(b, *([None] * (len(a.shape) - 1))))
@@ -126,9 +137,11 @@ def head_partitioned(full_impl: Callable, make_local: Callable[[int], Callable],
         return b, m, sh, results
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        CALLBACK_COUNTS["head.infer"] += 1
         return _shardings(mesh, arg_shapes, result_shape)[3]
 
     def partition(mesh, arg_shapes, result_shape):
+        CALLBACK_COUNTS["head.partition"] += 1
         b, m, sh, results = _shardings(mesh, arg_shapes, result_shape)
         tp = _axes_size(mesh, m)
         if heads % tp != 0:
@@ -148,5 +161,16 @@ def head_partitioned(full_impl: Callable, make_local: Callable[[int], Callable],
 
 
 def multi_device() -> bool:
-    """True when SPMD partitioning can apply (more than one device)."""
+    """True when SPMD partitioning can apply (more than one device).
+
+    ``HGR_TPU_FORCE_PARTITIONED=1`` overrides to True: on a 1-device
+    mesh the kernels would otherwise take their direct-impl branch and
+    the custom_partitioning wrappers never enter the graph at all —
+    which means a single-chip "sharded" drive exercises GSPMD but NOT
+    these rules. The override exists so tools/sharded_onechip.py can
+    route the real compiler through the wrappers (and assert via
+    CALLBACK_COUNTS whether the partitioner actually invoked them).
+    """
+    if os.environ.get("HGR_TPU_FORCE_PARTITIONED") == "1":
+        return True
     return jax.device_count() > 1
