@@ -144,24 +144,17 @@ def main():
     os.makedirs(save_path, exist_ok=True)
 
     image_size = (args.image_size[0], args.image_size[1])
-    # Tensor-parallel meshes shard the ViT qkv feature dim on 'model' —
-    # the head-sharded 'split' form keeps the fused Pallas attention
-    # there (each chip computes its local head group,
-    # ops/attention_pallas.py:fused_attention_split); only a model axis
-    # that does not divide the head count falls back to the GSPMD
-    # XLA chain. A degenerate 'model=1' axis is NOT tensor-parallel: it
-    # keeps the packed kernel (same predicate drives shard_state below).
     mesh_shape = {}
     if args.mesh:
         mesh_shape = {k: int(v) for k, v in
                       (kv.split('=') for kv in args.mesh.split(','))}
     tp_requested = mesh_shape.get('model', 1) > 1
-    if not tp_requested:
-        fused_attention = True
-    elif ModelConfig.heads % mesh_shape['model'] == 0:
-        fused_attention = "split"
-    else:
-        fused_attention = False
+    # packed kernel / head-sharded 'split' kernel / XLA-chain fallback —
+    # policy + rationale in parallel/mesh.py:resolve_fused_attention.
+    # (local import: parallel.mesh pulls in jax, which must init after
+    # force_host_cpu above)
+    from hgr_tpu.parallel.mesh import resolve_fused_attention
+    fused_attention = resolve_fused_attention(mesh_shape, ModelConfig.heads)
     model_cfg = ModelConfig(
         num_joints=data_cfg.num_joints,
         num_classes=data_cfg.num_classes,

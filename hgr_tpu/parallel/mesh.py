@@ -26,6 +26,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Array = jax.Array
 
 
+def resolve_fused_attention(mesh_shape: Dict[str, int],
+                            heads: int = 8) -> Any:
+    """Attention-routing policy for a mesh spec (vit.Attention.fused).
+
+    Tensor-parallel meshes shard the ViT qkv feature dim on 'model':
+    the head-sharded 'split' form keeps the fused Pallas attention
+    (each chip computes its local head group,
+    ops/attention_pallas.py:fused_attention_split); a model axis that
+    does not divide the head count falls back to the GSPMD-shardable
+    XLA chain (False). A degenerate ``model=1`` axis is NOT
+    tensor-parallel and keeps the packed kernel (True) — the same
+    predicate callers use for ``shard_state(..., tensor_parallel=)``.
+    """
+    tp = mesh_shape.get("model", 1) if mesh_shape else 1
+    if tp <= 1:
+        return True
+    return "split" if heads % tp == 0 else False
+
+
 def make_mesh(shape: Dict[str, int],
               devices: Optional[Sequence] = None) -> Mesh:
     """Create a mesh, e.g. make_mesh({'data': 8}) or

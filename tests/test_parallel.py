@@ -240,3 +240,20 @@ def test_dp_grad_accum_matches_plain_mesh_step():
     p1 = jax.tree_util.tree_leaves(s1.params)[0]
     p2 = jax.tree_util.tree_leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-4)
+
+
+def test_resolve_fused_attention_routing():
+    """cli/train.py --mesh routing policy (parallel/mesh.py): packed
+    kernel without a real model axis, head-sharded 'split' when the
+    model axis divides the head count, XLA chain otherwise."""
+    from hgr_tpu.parallel.mesh import resolve_fused_attention
+
+    assert resolve_fused_attention({}) is True
+    assert resolve_fused_attention({"data": 8}) is True
+    # degenerate model=1 axis is NOT tensor-parallel (ADVICE r2)
+    assert resolve_fused_attention({"data": 8, "model": 1}) is True
+    assert resolve_fused_attention({"data": 4, "model": 2}) == "split"
+    assert resolve_fused_attention({"data": 1, "model": 8}) == "split"
+    # non-dividing model axis: only then the XLA-chain fallback
+    assert resolve_fused_attention({"data": 2, "model": 3}, heads=8) is False
+    assert resolve_fused_attention({"model": 3}, heads=9) == "split"
