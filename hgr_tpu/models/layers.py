@@ -12,6 +12,7 @@ TPU-first re-design of the reference's torch modules
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -21,6 +22,16 @@ import numpy as np
 
 Array = jax.Array
 Dtype = Any
+
+# Dtype of the BatchNorm normalize/scale elementwise chain (and hence
+# the bytes its forward fusion and backward batch-stat coupling touch).
+# Batch statistics themselves always accumulate in float32 inside
+# flax's _compute_stats regardless of this setting. float32 is the
+# faithful default; 'bfloat16' is a measured mixed-precision lever
+# (A/B in BENCH_LOG) selectable via HGR_TPU_BN_DTYPE.
+_BN_DTYPE = (jnp.bfloat16
+             if os.environ.get("HGR_TPU_BN_DTYPE", "") == "bfloat16"
+             else jnp.float32)
 
 
 def torch_kernel_init():
@@ -255,7 +266,10 @@ class ConvBnAct(nn.Module):
             use_running_average=not train,
             momentum=0.9,  # torch default 0.1 <=> flax momentum 0.9
             epsilon=1e-5,
-            dtype=jnp.float32,  # keep statistics in f32 even under bf16
+            # bf16 BN applies only under a bf16 compute dtype; under f32
+            # compute the normalize chain stays f32 regardless of the knob.
+            dtype=(_BN_DTYPE if jnp.dtype(self.dtype) == jnp.bfloat16
+                   else jnp.float32),
             name="bn",
         )(x)
         if self.use_act:
