@@ -266,3 +266,59 @@ def test_dense_grad_backbone_grads_match():
         lambda a, b: float(jnp.max(jnp.abs(a - b))
                            / (jnp.max(jnp.abs(a)) + 1e-12)), ga, gb)
     assert max(jax.tree_util.tree_leaves(rel)) < 1e-4
+
+
+def test_bn_dtype_knob():
+    """HGR_TPU_BN_DTYPE=bfloat16 (layers._BN_DTYPE) lowers only the BN
+    normalize chain under a bf16 compute dtype: batch statistics stay
+    f32, an f32-compute model is bit-identical under both settings, and
+    the bf16-BN gradients track the f32-BN gradients closely (the
+    knob's real-chip A/B lives in tools/bn_dtype_ab.py; BENCH_LOG
+    'BN normalize-chain dtype')."""
+    from hgr_tpu.models import layers
+
+    x = jnp.asarray(np.random.RandomState(11).rand(2, 64, 64, 3),
+                    jnp.float32)
+    orig = layers._BN_DTYPE
+    try:
+        outs, grads = {}, {}
+        for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            layers._BN_DTYPE = dt
+            model = MultiTaskNet(image_size=(64, 64), dtype=jnp.bfloat16)
+            v = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
+                           train=True)
+            for leaf in jax.tree_util.tree_leaves(v["batch_stats"]):
+                assert leaf.dtype == jnp.float32
+
+            def loss(p, v=v, model=model):
+                (cls_out, hmap, _), _ = model.apply(
+                    {"params": p, "batch_stats": v["batch_stats"]},
+                    x.astype(jnp.bfloat16), train=True,
+                    need_attnmap=False, mutable=["batch_stats"])
+                return (jnp.sum(cls_out.astype(jnp.float32) ** 2)
+                        + jnp.sum(hmap.astype(jnp.float32) ** 2))
+
+            outs[name] = float(loss(v["params"]))
+            g = jax.grad(loss)(v["params"])
+            grads[name] = sum(
+                float(jnp.sum(jnp.abs(l).astype(jnp.float32)))
+                for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(outs["bf16"]) and np.isfinite(grads["bf16"])
+        rel = abs(grads["f32"] - grads["bf16"]) / (abs(grads["f32"]) + 1e-9)
+        assert rel < 0.05, rel
+
+        # f32 compute: knob-immune, outputs bit-identical.
+        ref = []
+        for dt in (jnp.float32, jnp.bfloat16):
+            layers._BN_DTYPE = dt
+            m32 = MultiTaskNet(image_size=(64, 64))
+            v32 = m32.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=True)
+            (cls_out, hmap, _), _ = m32.apply(
+                v32, x, train=True, mutable=["batch_stats"])
+            ref.append((np.asarray(cls_out), np.asarray(hmap)))
+        assert np.array_equal(ref[0][0], ref[1][0])
+        assert np.array_equal(ref[0][1], ref[1][1])
+    finally:
+        layers._BN_DTYPE = orig
