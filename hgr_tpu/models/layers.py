@@ -28,10 +28,21 @@ Dtype = Any
 # Batch statistics themselves always accumulate in float32 inside
 # flax's _compute_stats regardless of this setting. float32 is the
 # faithful default; 'bfloat16' is a measured mixed-precision lever
-# (A/B in BENCH_LOG) selectable via HGR_TPU_BN_DTYPE.
-_BN_DTYPE = (jnp.bfloat16
-             if os.environ.get("HGR_TPU_BN_DTYPE", "") == "bfloat16"
-             else jnp.float32)
+# (A/B in BENCH_LOG) selectable via HGR_TPU_BN_DTYPE. The env var is
+# read lazily at each model trace (bn_dtype()), so setting it after
+# import works; tests/tools may instead pin layers._BN_DTYPE directly,
+# which overrides the env var until reset to None.
+_BN_DTYPE: Optional[Any] = None
+
+
+def bn_dtype() -> Any:
+    """Resolve the BN normalize-chain dtype: explicit _BN_DTYPE override
+    if set, else the HGR_TPU_BN_DTYPE env var (read now, not at import)."""
+    if _BN_DTYPE is not None:
+        return _BN_DTYPE
+    return (jnp.bfloat16
+            if os.environ.get("HGR_TPU_BN_DTYPE", "") == "bfloat16"
+            else jnp.float32)
 
 
 def torch_kernel_init():
@@ -268,7 +279,7 @@ class ConvBnAct(nn.Module):
             epsilon=1e-5,
             # bf16 BN applies only under a bf16 compute dtype; under f32
             # compute the normalize chain stays f32 regardless of the knob.
-            dtype=(_BN_DTYPE if jnp.dtype(self.dtype) == jnp.bfloat16
+            dtype=(bn_dtype() if jnp.dtype(self.dtype) == jnp.bfloat16
                    else jnp.float32),
             name="bn",
         )(x)

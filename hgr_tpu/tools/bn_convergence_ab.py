@@ -63,8 +63,16 @@ def run_arm(name: str, cfg: str, workdir: str, args, bn_dtype: str):
          "val_pose_acc": float(m[4])}
         for m in EPOCH_RE.findall(proc.stdout)]
     mtest = TEST_RE.search(proc.stdout)
+    # Guard against a vacuously-"complete" A/B: if the train-log format
+    # drifts (or a loss prints as nan, which EPOCH_RE does not match),
+    # fail loudly instead of writing nulls into the summary.
+    if not epochs or mtest is None:
+        raise RuntimeError(
+            f"arm {name}: could not parse metrics from train output "
+            f"(epochs={len(epochs)}, test_f1={'found' if mtest else 'MISSING'})."
+            f" stdout tail:\n{proc.stdout[-2000:]}")
     return {"bn_dtype": bn_dtype, "epochs": epochs,
-            "test_f1": float(mtest[1]) if mtest else None}
+            "test_f1": float(mtest[1])}
 
 
 def main() -> None:
@@ -79,6 +87,10 @@ def main() -> None:
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "bench_artifacts",
                                          "bn_convergence_ab"))
+    ap.add_argument("--arms", type=str, nargs="+", default=["f32", "bf16"],
+                    choices=["f32", "bf16"],
+                    help="which arms to (re)run; an arm not listed is "
+                         "loaded from its existing <out>/<arm>.json")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -86,6 +98,10 @@ def main() -> None:
                         args.train_n, args.val_n, args.test_n)
     results = {}
     for name, dt in (("f32", "float32"), ("bf16", "bfloat16")):
+        if name not in args.arms:
+            with open(os.path.join(args.out, f"{name}.json")) as f:
+                results[name] = json.load(f)
+            continue
         results[name] = run_arm(name, cfg, args.workdir, args, dt)
         with open(os.path.join(args.out, f"{name}.json"), "w") as f:
             json.dump(results[name], f, indent=1)

@@ -32,7 +32,8 @@ def _timeit(fn, iters=6, warmup=2):
         leaf = jax.tree_util.tree_leaves(out)[0]
         return float(jnp.sum(leaf.astype(jnp.float32)))
 
-    for _ in range(warmup):
+    out = fn()  # always at least one untimed call (also covers warmup=0)
+    for _ in range(max(warmup - 1, 0)):
         out = fn()
     sync(out)
     ts = []
@@ -49,8 +50,10 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--canvas", type=int, default=256)
     parser.add_argument("--k_lo", type=int, default=4)
-    parser.add_argument("--k_hi", type=int, default=12)
-    parser.add_argument("--iters", type=int, default=6)
+    # Defaults match the recorded BENCH_LOG measurement (K=4 vs K=16,
+    # 5 iters), so rerunning with no flags reproduces the headline row.
+    parser.add_argument("--k_hi", type=int, default=16)
+    parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--platform", type=str, default="")
     args = parser.parse_args()
 
@@ -119,6 +122,9 @@ def main() -> None:
             "device_step_ms": round(slope * 1e3, 2),
             "crops_per_s": round(B / slope, 0),
             "batch": B,
+            # full measurement config, so the record reproduces the run
+            "k_lo": args.k_lo, "k_hi": args.k_hi, "iters": args.iters,
+            "canvas": args.canvas,
             "losses": [round(float(x), 5) for x in losses],
         }), flush=True)
 

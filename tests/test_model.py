@@ -301,12 +301,28 @@ def test_bn_dtype_knob():
 
             outs[name] = float(loss(v["params"]))
             g = jax.grad(loss)(v["params"])
-            grads[name] = sum(
-                float(jnp.sum(jnp.abs(l).astype(jnp.float32)))
-                for l in jax.tree_util.tree_leaves(g))
-        assert np.isfinite(outs["bf16"]) and np.isfinite(grads["bf16"])
-        rel = abs(grads["f32"] - grads["bf16"]) / (abs(grads["f32"]) + 1e-9)
-        assert rel < 0.05, rel
+            grads[name] = {
+                jax.tree_util.keystr(path): float(
+                    jnp.sum(jnp.abs(l).astype(jnp.float32)))
+                for path, l in jax.tree_util.tree_leaves_with_path(g)}
+        assert np.isfinite(outs["bf16"])
+        assert all(np.isfinite(x) for x in grads["bf16"].values())
+        # Per-leaf L1 norms (not one global sum, where drift could cancel
+        # across leaves): max relative diff over all non-tiny leaves.
+        assert grads["f32"].keys() == grads["bf16"].keys()
+        scale = max(grads["f32"].values())
+        rels = {
+            k: abs(grads["f32"][k] - grads["bf16"][k])
+            / (abs(grads["f32"][k]) + 1e-9)
+            for k in grads["f32"]
+            if grads["f32"][k] > 1e-6 * scale  # skip ~zero-grad leaves
+        }
+        # Per-leaf drift is larger than the old global-sum bound (which
+        # let drift cancel across leaves): observed worst ~5.5% on a BN
+        # scale grad, median well under 1%. Bound both.
+        worst = max(rels, key=rels.get)
+        assert rels[worst] < 0.10, (worst, rels[worst])
+        assert float(np.median(list(rels.values()))) < 0.02, rels
 
         # f32 compute: knob-immune, outputs bit-identical.
         ref = []
