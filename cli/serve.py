@@ -121,7 +121,8 @@ def build_service(args):
         print(f"quantized backbone from {len(crops)} calibration crops")
     service = ClassifierService(
         model, variables, class_names=data_cfg.names,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        pipeline_depth=args.pipeline_depth)
     service.warm()
     return service, variables
 
@@ -325,6 +326,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=64)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--pipeline_depth", type=int, default=4,
+                    help="classifier batches kept in flight on the device; "
+                         ">1 overlaps host->device link latency with "
+                         "device compute (see serve/engine.MicroBatcher)")
     args = ap.parse_args(argv)
     from hgr_tpu.utils.platform import force_host_cpu
 

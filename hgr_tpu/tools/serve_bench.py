@@ -71,6 +71,10 @@ def main() -> None:
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--quantize", action="store_true",
                     help="serve the int8 backbone (calibrated on noise)")
+    ap.add_argument("--pipeline_depth", type=int, default=4,
+                    help="batches kept in flight on the device (1 = the "
+                         "old blocking dispatch); >1 overlaps link "
+                         "latency with device compute")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -95,7 +99,7 @@ def main() -> None:
 
     service = ClassifierService(
         model, variables, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms)
+        max_wait_ms=args.max_wait_ms, pipeline_depth=args.pipeline_depth)
     print("warming all batch buckets...", flush=True)
     service.warm()
 
@@ -110,6 +114,7 @@ def main() -> None:
         "clients": args.clients,
         "max_batch": args.max_batch,
         "max_wait_ms": args.max_wait_ms,
+        "pipeline_depth": args.pipeline_depth,
         "quantized": args.quantize,
         **snap,
     }

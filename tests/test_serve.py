@@ -113,6 +113,88 @@ def test_stop_rejects_new_and_fails_queued():
         assert "stopped" in str(f2.exception())
 
 
+def test_pipelined_batcher_overlaps_dispatch_with_materialize():
+    """With dispatch/materialize split and pipeline_depth > 1, the
+    dispatcher keeps issuing batches while earlier ones are still
+    materializing — the property that hides host->device link latency
+    (serve/engine.MicroBatcher pipelined mode)."""
+    dispatched, released = [], threading.Event()
+
+    def dispatch_batch(stacked):
+        dispatched.append(time.monotonic())
+        return [float(x.sum()) for x in stacked]
+
+    def materialize(handle):
+        released.wait(5.0)  # first batch's materialize blocks...
+        return handle
+
+    mb = MicroBatcher(dispatch_batch=dispatch_batch,
+                      materialize=materialize, pipeline_depth=3,
+                      max_batch=1, max_wait_ms=1.0)
+    try:
+        futs = [mb.submit(np.full((2,), i)) for i in range(3)]
+        # ...yet all three batches get DISPATCHED while it blocks.
+        deadline = time.monotonic() + 5.0
+        while len(dispatched) < 3 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert len(dispatched) == 3, dispatched
+        released.set()
+        assert [f.result(timeout=10.0) for f in futs] == [0.0, 2.0, 4.0]
+    finally:
+        released.set()
+        mb.stop()
+
+
+def test_pipelined_materialize_error_propagates():
+    def dispatch_batch(stacked):
+        return stacked
+
+    def materialize(handle):
+        raise ValueError("device exploded")
+
+    mb = MicroBatcher(dispatch_batch=dispatch_batch,
+                      materialize=materialize, pipeline_depth=2,
+                      max_batch=4, max_wait_ms=1.0)
+    try:
+        f = mb.submit(np.zeros((1,)))
+        with pytest.raises(ValueError, match="device exploded"):
+            f.result(timeout=10.0)
+        assert mb.metrics.snapshot()["errors"] == 1
+    finally:
+        mb.stop()
+
+
+def test_pipelined_stop_resolves_inflight():
+    """stop() materializes batches already dispatched before joining the
+    completion thread — no future is left dangling."""
+    n_dispatched = []
+
+    def dispatch_batch(stacked):
+        n_dispatched.append(1)
+        return [float(x.sum()) for x in stacked]
+
+    def materialize(handle):
+        time.sleep(0.05)
+        return handle
+
+    mb = MicroBatcher(dispatch_batch=dispatch_batch,
+                      materialize=materialize, pipeline_depth=4,
+                      max_batch=1, max_wait_ms=1.0)
+    futs = [mb.submit(np.full((1,), i)) for i in range(4)]
+    deadline = time.monotonic() + 5.0
+    while len(n_dispatched) < 4 and time.monotonic() < deadline:
+        time.sleep(0.005)  # all 4 dispatched; some still materializing
+    mb.stop()
+    assert [f.result(timeout=1.0) for f in futs] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_pipelined_requires_the_pair():
+    with pytest.raises(ValueError):
+        MicroBatcher(dispatch_batch=lambda x: x)  # no materialize
+    with pytest.raises(ValueError):
+        MicroBatcher(lambda x: x, pipeline_depth=2)  # blocking + depth
+
+
 def test_metrics_snapshot_fields():
     m = ServeMetrics()
     m.record_batch(3, 4, [0.001, 0.002, 0.003])
