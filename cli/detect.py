@@ -39,6 +39,10 @@ def main():
     parser.add_argument('--batch_frames', type=int, default=1,
                         help='batch N frames per device call (offline '
                              'throughput mode)')
+    parser.add_argument('--pipeline_depth', type=int, default=3,
+                        help='frame batches kept in flight on the device '
+                             'while host decode/annotate/encode runs '
+                             '(infer/detect.detect_to_video)')
     parser.add_argument('--host_device_count', type=int, default=0,
                         metavar='N',
                         help='run on N virtual CPU devices instead of '
@@ -82,7 +86,8 @@ def main():
         score_thresh=args.score_thresh, dtype=dtype)
 
     n = detect_to_video(pipeline, args.data_path, args.save_path,
-                        batch_frames=args.batch_frames, show=args.show)
+                        batch_frames=args.batch_frames, show=args.show,
+                        pipeline_depth=args.pipeline_depth)
     print(f"processed {n} frames -> {args.save_path}")
 
 
