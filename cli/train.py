@@ -43,8 +43,22 @@ def parse_args():
     parser.add_argument('--seed', type=int, default=42)
     # TPU-native extensions
     parser.add_argument('--dtype', type=str, default='bfloat16',
-                        choices=['bfloat16', 'float32'],
-                        help='compute dtype')
+                        choices=['bfloat16', 'float32', 'mixed'],
+                        help="compute dtype; 'mixed' = bf16 backbone + f32 "
+                             "decoder (restores classification-gradient "
+                             "fidelity at near-bf16 speed — see "
+                             "ModelConfig.decoder_dtype)")
+    parser.add_argument('--decoder_dtype', type=str, default='',
+                        choices=['', 'float32', 'bfloat16'],
+                        help='explicit decoder dtype override (diagnostic '
+                             'bisection; --dtype mixed is the supported '
+                             'recipe)')
+    parser.add_argument('--early_dtype', type=str, default='',
+                        choices=['', 'float32', 'bfloat16'],
+                        help='backbone precision scheduling: dtype of the '
+                             'first --early_units GELAN units '
+                             '(ModelConfig.early_dtype)')
+    parser.add_argument('--early_units', type=int, default=3)
     parser.add_argument('--mesh', type=str, default='',
                         help="mesh spec, e.g. 'data=8' or 'data=4,model=2'; "
                              'empty = single device')
@@ -160,7 +174,11 @@ def main():
         num_classes=data_cfg.num_classes,
         image_size=image_size,
         backbone='large' if args.backbone == 'gelanl' else 'small',
-        compute_dtype=args.dtype,
+        compute_dtype='bfloat16' if args.dtype == 'mixed' else args.dtype,
+        decoder_dtype=(args.decoder_dtype or
+                       ('float32' if args.dtype == 'mixed' else None)),
+        early_dtype=args.early_dtype or None,
+        early_units=args.early_units,
         fused_attention=fused_attention,
         remat=args.remat,
     )

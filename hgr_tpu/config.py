@@ -96,6 +96,24 @@ class ModelConfig:
     mlp_dim: int = 256
     # TPU knobs (no reference equivalent — compute dtype selection).
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Decoder (1x1 proj + ViT) compute dtype override; None = follow
+    # compute_dtype. 'float32' under a bf16 backbone is the mixed
+    # training recipe: the classification gradient (CE x 0.001,
+    # reference train.py:63) is ~2^-10 of the pose-dominated cotangent
+    # magnitudes, so a bf16 decoder backward rounds it into its own
+    # quantization noise — measured as a reproducible ~0.03 macro-F1
+    # deficit vs the f32 reference (BENCH_LOG round 4). The decoder is
+    # <10% of step FLOPs, so f32 there restores the cls gradient SNR
+    # at near-bf16 speed.
+    decoder_dtype: Optional[str] = None
+    # Backbone precision scheduling (gelan.GELANNet.early_dtype): run
+    # the first early_units GELAN units in early_dtype. float32 early
+    # units under a bf16 body preserve the fine-grained color-scale
+    # class cues that uniform bf16 quantizes away (round-4 bisection:
+    # the F1 deficit vs the f32 reference lives in the backbone, not
+    # the decoder — BENCH_LOG round 4).
+    early_dtype: Optional[str] = None
+    early_units: int = 3
     # Fused Pallas attention routing (vit.Attention.fused): True = packed
     # kernel (single-device / data-parallel); 'split' = head-sharded
     # kernel for tensor-parallel meshes (heads must divide the model

@@ -96,24 +96,44 @@ class GELANNet(nn.Module):
     # stride2_impl): 'plain', 's2d' (space-to-depth), or 'dense_grad'
     # (phase-decomposed input gradient). Identical math + param tree.
     stride2_impl: str = "plain"
+    # Precision scheduling: run the first ``early_units`` of the 7 units
+    # [conv1, conv2, cspelan1, down1, cspelan2, down2, cspelan3] in
+    # ``early_dtype`` (typically float32 under a bf16 body). Round-4
+    # finding: fine-grained color-keyed classification signal is
+    # quantized away by a bf16 backbone while pose is untouched; the
+    # early high-resolution units are where that cue is extracted
+    # (BENCH_LOG round 4). None = uniform dtype (default).
+    early_dtype: Optional[Dtype] = None
+    early_units: int = 3
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         block, layers = GELAN_SPEC[self.variant]
-        kw = dict(dtype=self.dtype, precision=self.precision)
-        skw = dict(stride2_impl=self.stride2_impl, **kw)
+
+        def unit_kw(i: int, stride2: bool):
+            d = (self.early_dtype
+                 if self.early_dtype is not None and i < self.early_units
+                 else self.dtype)
+            kw = dict(dtype=d, precision=self.precision)
+            if stride2:
+                kw["stride2_impl"] = self.stride2_impl
+            return kw
 
         def _body(mdl, x, train):
-            x = ConvBnAct(64, 3, 2, name="conv1", **skw)(x, train)
-            x = ConvBnAct(128, 3, 2, name="conv2", **skw)(x, train)
+            x = ConvBnAct(64, 3, 2, name="conv1",
+                          **unit_kw(0, True))(x, train)
+            x = ConvBnAct(128, 3, 2, name="conv2",
+                          **unit_kw(1, True))(x, train)
             x = GELANBlock(128, 128, 64, block, layers[0], name="cspelan1",
-                           **kw)(x, train)
-            x = ConvBnAct(256, 3, 2, name="down1", **skw)(x, train)
+                           **unit_kw(2, False))(x, train)
+            x = ConvBnAct(256, 3, 2, name="down1",
+                          **unit_kw(3, True))(x, train)
             x = GELANBlock(256, 256, 128, block, layers[1], name="cspelan2",
-                           **kw)(x, train)
-            x = ConvBnAct(512, 3, 2, name="down2", **skw)(x, train)
+                           **unit_kw(4, False))(x, train)
+            x = ConvBnAct(512, 3, 2, name="down2",
+                          **unit_kw(5, True))(x, train)
             return GELANBlock(512, 512, 256, block, layers[2],
-                              name="cspelan3", **kw)(x, train)
+                              name="cspelan3", **unit_kw(6, False))(x, train)
 
         if self.remat:
             _body = nn.remat(_body, static_argnums=(2,))

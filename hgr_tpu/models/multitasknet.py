@@ -38,6 +38,16 @@ class MultiTaskNet(nn.Module):
     head_dim: int = 32
     mlp_dim: int = 256
     dtype: Dtype = jnp.float32
+    # Decoder (proj + ViT) dtype override; None = follow ``dtype``.
+    # float32 under a bf16 backbone restores classification-gradient
+    # SNR in the transformer backward (see config.ModelConfig.decoder_dtype).
+    decoder_dtype: Optional[Dtype] = None
+    # Backbone precision scheduling: run the first ``early_units`` GELAN
+    # units in ``early_dtype`` (gelan.GELANNet.early_dtype) — f32 early
+    # units under a bf16 body preserve fine-grained (color-scale)
+    # classification cues the bf16 path quantizes away.
+    early_dtype: Optional[Dtype] = None
+    early_units: int = 3
     precision: Optional[jax.lax.Precision] = None
     # True = packed Pallas core; 'split' = head-sharded Pallas core for
     # tensor-parallel meshes; False = unfused XLA chain (see
@@ -64,6 +74,13 @@ class MultiTaskNet(nn.Module):
             head_dim=cfg.head_dim,
             mlp_dim=cfg.mlp_dim,
             dtype=dtype,
+            decoder_dtype=(None if cfg.decoder_dtype is None else
+                           (jnp.bfloat16 if cfg.decoder_dtype == "bfloat16"
+                            else jnp.float32)),
+            early_dtype=(None if cfg.early_dtype is None else
+                         (jnp.bfloat16 if cfg.early_dtype == "bfloat16"
+                          else jnp.float32)),
+            early_units=cfg.early_units,
             fused_attention=cfg.fused_attention,
             remat=cfg.remat,
         )
@@ -80,11 +97,15 @@ class MultiTaskNet(nn.Module):
         feats = GELANNet(self.backbone, dtype=self.dtype,
                          precision=self.precision,
                          remat=self.remat, stride2_impl=self.stride2_impl,
+                         early_dtype=self.early_dtype,
+                         early_units=self.early_units,
                          name="encoder")(x, train)
         from hgr_tpu.models.layers import torch_kernel_init
 
+        ddt = self.decoder_dtype if self.decoder_dtype is not None \
+            else self.dtype
         feats = nn.Conv(self.dim, kernel_size=(1, 1), use_bias=False,
-                        dtype=self.dtype, param_dtype=jnp.float32,
+                        dtype=ddt, param_dtype=jnp.float32,
                         kernel_init=torch_kernel_init(),
                         precision=self.precision, name="proj")(feats)
         h, w = self.image_size[0] // 16, self.image_size[1] // 16
@@ -97,7 +118,7 @@ class MultiTaskNet(nn.Module):
             heads=self.heads,
             head_dim=self.head_dim,
             mlp_dim=self.mlp_dim,
-            dtype=self.dtype,
+            dtype=ddt,
             precision=self.precision,
             fused=self.fused_attention,
             remat_pose_head=self.remat,

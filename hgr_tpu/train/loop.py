@@ -336,6 +336,7 @@ def fit(
                 "num_joints": model_cfg.num_joints,
                 "num_classes": model_cfg.num_classes,
                 "compute_dtype": model_cfg.compute_dtype,
+                "decoder_dtype": model_cfg.decoder_dtype,
             }, f, indent=2)
     train_metrics = EpochMetrics(num_classes)
     val_metrics = EpochMetrics(num_classes)
