@@ -59,6 +59,11 @@ def parse_args():
                              'first --early_units GELAN units '
                              '(ModelConfig.early_dtype)')
     parser.add_argument('--early_units', type=int, default=3)
+    parser.add_argument('--grad_demix', type=str, default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='de-mixed per-task gradient pullbacks (exact '
+                             'bf16 multi-task gradients, one extra '
+                             'backward; auto = on under bf16 compute)')
     parser.add_argument('--mesh', type=str, default='',
                         help="mesh spec, e.g. 'data=8' or 'data=4,model=2'; "
                              'empty = single device')

@@ -158,6 +158,12 @@ class TrainConfig:
     # Sequential microbatches per optimizer step (train/steps.py): one
     # exactly-combined update, single-microbatch peak activation memory.
     grad_accum: int = 1
+    # De-mixed task-gradient pullbacks under bf16 compute
+    # (train/steps.make_train_step grad_demix): exact multi-task
+    # gradients at one extra backward pass. 'auto' = on iff the model
+    # computes in bf16 (where the merged cotangent stream drowns the
+    # CE-x-0.001 classification gradient), off for f32.
+    grad_demix: str = "auto"  # 'auto' | 'on' | 'off'
 
 
 # ImageNet normalization constants applied to (BGR-ordered!) images —

@@ -76,6 +76,7 @@ def make_parallel_train_step(
     tensor_parallel: bool = False,
     class_loss_weight: float = 0.001,  # reference train.py:63
     grad_accum: int = 1,
+    grad_demix: bool = False,
 ) -> Callable:
     """Jit the train step with explicit in/out shardings over ``mesh``.
 
@@ -91,7 +92,8 @@ def make_parallel_train_step(
     inner = base_steps.make_train_step(
         aug_cfg, num_classes=num_classes, sigma=sigma,
         image_size=image_size, heatmap_size=heatmap_size, donate=False,
-        class_loss_weight=class_loss_weight, grad_accum=grad_accum)
+        class_loss_weight=class_loss_weight, grad_accum=grad_accum,
+        grad_demix=grad_demix)
     # Reuse the un-jitted logic: make_train_step returns a jitted fn; get
     # its wrapped function to avoid nested jit dispatch overhead.
     fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner

@@ -103,6 +103,32 @@ def main() -> None:
     print("warming all batch buckets...", flush=True)
     service.warm()
 
+    # Bare device forward ceiling at the largest bucket, measured with
+    # the pipelining trick the batcher itself uses (K batches in flight,
+    # slope between K cancels dispatch+link overhead) — the denominator
+    # for "batcher overhead" in BENCH_LOG "device-bound serving".
+    import time as _time
+
+    bare = np.random.RandomState(2).randint(
+        0, 255, (args.max_batch, 192, 192, 3), dtype=np.uint8)
+
+    def _pipelined_rate(k):
+        hs = [service._fwd(bare) for _ in range(k)]
+        for h in hs:
+            np.asarray(h[0])
+        t0 = _time.perf_counter()
+        hs = [service._fwd(bare) for _ in range(k)]
+        for h in hs:
+            np.asarray(h[0])
+        return _time.perf_counter() - t0
+
+    t_lo, t_hi = _pipelined_rate(2), _pipelined_rate(10)
+    bare_s_per_batch = max((t_hi - t_lo) / 8, 1e-9)
+    bare_fwd_rps = args.max_batch / bare_s_per_batch
+    print(f"bare fwd ceiling: {bare_fwd_rps:.0f} crops/s "
+          f"({bare_s_per_batch*1e3:.2f} ms/batch-{args.max_batch})",
+          flush=True)
+
     crops = np.random.RandomState(1).randint(
         0, 255, (64, 192, 192, 3), dtype=np.uint8)
     try:
@@ -116,6 +142,9 @@ def main() -> None:
         "max_wait_ms": args.max_wait_ms,
         "pipeline_depth": args.pipeline_depth,
         "quantized": args.quantize,
+        "bare_fwd_crops_s": round(bare_fwd_rps),
+        "batcher_overhead_pct": round(
+            100.0 * (1.0 - snap["achieved_rps"] / bare_fwd_rps), 1),
         **snap,
     }
     print(json.dumps(result, indent=2))

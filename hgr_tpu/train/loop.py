@@ -29,7 +29,8 @@ from hgr_tpu.ops.metrics import macro_f1_from_confusion
 from hgr_tpu.train.checkpoint import CheckpointManager
 from hgr_tpu.train.logging import MetricLogger
 from hgr_tpu.train.state import TrainState
-from hgr_tpu.train.steps import make_eval_step, make_train_step
+from hgr_tpu.train.steps import (make_eval_step, make_train_step,
+                                 resolve_grad_demix)
 
 
 class EpochMetrics:
@@ -245,7 +246,8 @@ def fit(
         p_train = make_parallel_train_step(
             mesh, aug, state, tensor_parallel=tensor_parallel,
             class_loss_weight=train_cfg.class_loss_weight,
-            grad_accum=train_cfg.grad_accum, **step_kw)
+            grad_accum=train_cfg.grad_accum,
+            grad_demix=resolve_grad_demix(train_cfg, model_cfg), **step_kw)
         p_eval = make_parallel_eval_step(
             mesh, state, tensor_parallel=tensor_parallel, **step_kw)
 
@@ -279,7 +281,8 @@ def fit(
     else:
         train_step = make_train_step(
             aug, class_loss_weight=train_cfg.class_loss_weight,
-            grad_accum=train_cfg.grad_accum, **step_kw)
+            grad_accum=train_cfg.grad_accum,
+            grad_demix=resolve_grad_demix(train_cfg, model_cfg), **step_kw)
         eval_step = make_eval_step(**step_kw)
         if debug_images:
             s_dbg_train = make_eval_step(return_outputs=True,

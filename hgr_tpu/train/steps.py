@@ -96,6 +96,18 @@ def _step_metrics(data, parts, cls_out, hmap, num_classes, mask):
     }, pred_label
 
 
+def resolve_grad_demix(train_cfg, model_cfg) -> bool:
+    """Resolve the TrainConfig.grad_demix mode ('auto' | 'on' | 'off').
+
+    'auto' currently resolves to OFF: de-mixed pullbacks cost one extra
+    backward pass, and the round-4 head-to-head A/B (BENCH_LOG) gates
+    whether they are what closes the bf16 classification deficit —
+    flip this to on-under-bf16 only with that evidence. Explicit 'on'
+    forces the exact de-mixed gradients regardless."""
+    mode = getattr(train_cfg, "grad_demix", "auto")
+    return mode == "on"
+
+
 def make_train_step(
     aug_cfg: AugmentConfig,
     num_classes: int = 19,
@@ -105,6 +117,7 @@ def make_train_step(
     donate: bool = True,
     class_loss_weight: float = 0.001,  # reference train.py:63
     grad_accum: int = 1,
+    grad_demix: bool = False,
     debug_return_grads: bool = False,  # tests: expose pre-update grads
 ) -> Callable:
     """Build the jitted train step.
@@ -124,6 +137,22 @@ def make_train_step(
     the reference's batch accumulators, train.py:89-90). BN batch
     statistics are per-microbatch (momentum applied per microbatch,
     like the reference's bs-32 steps at the same total throughput).
+
+    ``grad_demix=True`` computes the two task gradients by SEPARATE
+    cotangent pullbacks through ONE shared linearization (jax.vjp):
+    ``g = g_joints + class_loss_weight * g_ce`` combined in float32 at
+    the parameter level. Mathematically identical to backprop of the
+    summed loss (the pullback is linear in the cotangent) — but under
+    bf16 compute it is NOT numerically identical, and that is the
+    point: the CE-x-0.001 classification cotangent (reference
+    train.py:63) is ~2^-10 of the pose-dominated cotangent magnitudes,
+    so every bf16 rounding of the MERGED stream drowns it in
+    quantization noise (round-4 bisection: f32 test-F1 0.296 vs bf16
+    0.145 on the shared fixture, pose identical; f32-decoder-only and
+    f32-backbone-only both fail to recover, because the merged stream
+    crosses bf16 somewhere in each). De-mixed, each backward carries a
+    single task's cotangents at full relative precision in bf16. Cost:
+    one extra backward pass (the forward/linearization is shared).
     """
 
     def train_step(state: TrainState, batch: Dict[str, Array], key: Array):
@@ -131,6 +160,9 @@ def make_train_step(
             mask = mbatch.get("valid")
             data = _preprocess(mbatch, mkey, aug_cfg, sigma, image_size,
                                heatmap_size)
+
+            if grad_demix:
+                return _demixed_micro(params, stats, data, mask)
 
             def loss_fn(p):
                 return _forward_and_metrics(
@@ -142,6 +174,40 @@ def make_train_step(
             (total, (parts, cls_out, hmap, attn, new_stats)), grads = (
                 grad_fn(params))
             metrics, _ = _step_metrics(data, parts, cls_out, hmap,
+                                       num_classes, mask)
+            return grads, new_stats, metrics
+
+        def _demixed_micro(params, stats, data, mask):
+            from hgr_tpu.ops.losses import (classification_loss,
+                                            joints_mse_loss)
+
+            def fwd(p):
+                variables = {"params": p, "batch_stats": stats}
+                (cls_out, hmap, _), mutated = state.apply_fn(
+                    variables, data["image"], train=True,
+                    need_attnmap=False, mutable=["batch_stats"])
+                hmap_nchw = heatmaps_to_nchw(hmap)
+                # NATURAL-scale CE (weight applied at the f32 combine
+                # below, so the pullback's cotangents are O(1))
+                ce = classification_loss(cls_out, data["label"], mask)
+                jl = joints_mse_loss(hmap_nchw, data["target"],
+                                     data["target_weight"], mask)
+                return (ce, jl), (cls_out, hmap_nchw,
+                                  mutated["batch_stats"])
+
+            ((ce, jl), vjp_fn, (cls_out, hmap_nchw, new_stats)) = jax.vjp(
+                fwd, params, has_aux=True)
+            one, zero = jnp.float32(1.0), jnp.float32(0.0)
+            (g_ce,) = vjp_fn((one, zero))
+            (g_jl,) = vjp_fn((zero, one))
+            grads = jax.tree_util.tree_map(
+                lambda a, b: (b.astype(jnp.float32)
+                              + class_loss_weight * a.astype(jnp.float32)),
+                g_ce, g_jl)
+            class_loss = ce * class_loss_weight
+            parts = {"total_loss": class_loss + jl,
+                     "class_loss": class_loss, "joints_loss": jl}
+            metrics, _ = _step_metrics(data, parts, cls_out, hmap_nchw,
                                        num_classes, mask)
             return grads, new_stats, metrics
 
