@@ -256,3 +256,64 @@ class TestSharded:
                     np.testing.assert_array_equal(szs[r], [96.0, 96.0])
             assert np.isfinite(aff).all() and (szs > 0).all()
         assert saw_empty >= 3
+
+
+def test_sharded_write_is_collective_free():
+    """The sharded-cache block write must never lower to a collective:
+    GSPMD's naive sharded dynamic_update_slice all-gathers the ENTIRE
+    cache per block write (45 GB at full-HaGRID scale — instant OOM on
+    16 GB chips; caught by tools/hagrid_fit --mode virtual, round 4).
+    Compile the real write at a representative sharded shape and assert
+    the optimized HLO is collective-free."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hgr_tpu.data.device_cache import make_sharded_write
+    from hgr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"data": 8})
+    n_local, flat = 1024, 110592  # canvas-192 flat row
+    write = make_sharded_write(mesh, n_local)
+    sharded = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    cache = {"canvas": jax.ShapeDtypeStruct(
+        (n_local * 8, flat), jnp.uint8, sharding=sharded)}
+    block = {"canvas": jax.ShapeDtypeStruct(
+        (128, flat), jnp.uint8, sharding=repl)}
+    start = jax.ShapeDtypeStruct((), jnp.int32)
+    txt = write.lower(cache, block, start).compile().as_text()
+    for bad in ("all-gather", "all-reduce", "all-to-all",
+                "collective-permute"):
+        assert bad not in txt, f"write lowers to {bad}"
+
+
+def test_sharded_write_matches_host_reference():
+    """Window-merge semantics: random block writes at every boundary
+    case (shard-interior, crossing, clamped edges, block >= shard)
+    reproduce a plain numpy row-assignment oracle."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hgr_tpu.data.device_cache import make_sharded_write
+    from hgr_tpu.parallel.mesh import make_mesh
+
+    d, n_local, flat = 8, 16, 8
+    mesh = make_mesh({"data": d})
+    write = make_sharded_write(mesh, n_local)
+    sharded = NamedSharding(mesh, P("data"))
+    n = n_local * d
+    rng = np.random.RandomState(0)
+    host = np.zeros((n, flat), np.float32)
+    cache = {"x": jax.device_put(jnp.zeros((n, flat), jnp.float32),
+                                 sharded)}
+    cases = [0, 5, n_local - 3, n_local, 3 * n_local - 1, n - 7]
+    for rows in (4, 7, n_local, n_local + 5):
+        for start in cases:
+            start = min(start, n - rows)
+            block = rng.rand(rows, flat).astype(np.float32)
+            host[start:start + rows] = block
+            cache = write(cache, {"x": jnp.asarray(block)},
+                          np.int32(start))
+    np.testing.assert_array_equal(np.asarray(cache["x"]), host)
