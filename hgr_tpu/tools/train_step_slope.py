@@ -56,6 +56,11 @@ def main() -> None:
     parser.add_argument("--k_hi", type=int, default=16)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--platform", type=str, default="")
+    parser.add_argument("--grad_demix", action="store_true",
+                        help="time the de-mixed two-pullback step "
+                             "(train/steps.py grad_demix)")
+    parser.add_argument("--bn_dtype", type=str, default="",
+                        choices=["", "float32", "bfloat16"])
     args = parser.parse_args()
 
     import jax
@@ -89,7 +94,13 @@ def main() -> None:
     state, _ = create_train_state(model, jax.random.PRNGKey(0),
                                   (1, 192, 192, 3), lr=1e-3,
                                   milestones_steps=(10**6,))
-    inner = make_train_step(AugmentConfig(), donate=False)
+    if args.bn_dtype:
+        from hgr_tpu.models import layers
+
+        layers._BN_DTYPE = (jnp.bfloat16 if args.bn_dtype == "bfloat16"
+                            else jnp.float32)
+    inner = make_train_step(AugmentConfig(), donate=False,
+                            grad_demix=args.grad_demix)
     step_fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner
 
     from functools import partial
@@ -124,6 +135,8 @@ def main() -> None:
         "unit": "ms",
         "crops_per_s": round(B / slope, 0),
         "batch": B,
+        "grad_demix": args.grad_demix,
+        "bn_dtype": args.bn_dtype or "float32",
         "overhead_cancelled_ms": round(
             (results[args.k_lo] - slope * args.k_lo) * 1e3, 1),
     }), flush=True)
