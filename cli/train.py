@@ -194,7 +194,7 @@ def main():
         class_loss_weight=args.class_loss_weight,
         num_workers=args.num_workers, log_dir=args.log_dir,
         save_dir=args.save_dir, canvas_size=args.canvas_size,
-        grad_accum=args.grad_accum,
+        grad_accum=args.grad_accum, grad_demix=args.grad_demix,
     )
     if args.grad_accum > 1:
         denom = args.grad_accum * max(
