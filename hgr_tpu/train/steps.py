@@ -99,13 +99,19 @@ def _step_metrics(data, parts, cls_out, hmap, num_classes, mask):
 def resolve_grad_demix(train_cfg, model_cfg) -> bool:
     """Resolve the TrainConfig.grad_demix mode ('auto' | 'on' | 'off').
 
-    'auto' currently resolves to OFF: de-mixed pullbacks cost one extra
-    backward pass, and the round-4 head-to-head A/B (BENCH_LOG) gates
-    whether they are what closes the bf16 classification deficit —
-    flip this to on-under-bf16 only with that evidence. Explicit 'on'
-    forces the exact de-mixed gradients regardless."""
+    'auto' = ON exactly when some segment of the shared path computes in
+    bf16. Evidence (BENCH_LOG round 4): across 5 paired seeds the plain
+    merged bf16 backward loses a reproducible ~0.06 test macro-F1 to the
+    de-mixed step (reference-beating 0.268 vs 0.193 plain / 0.205
+    reference), at a measured +68% step cost (B=1024: 447 ms vs 266 ms).
+    Correctness-first default; `--grad_demix off` restores the 3.9-4.0k
+    crops/s speed mode with the documented classification deficit."""
     mode = getattr(train_cfg, "grad_demix", "auto")
-    return mode == "on"
+    if mode in ("on", "off"):
+        return mode == "on"
+    return ("bfloat16" in (model_cfg.compute_dtype,
+                           model_cfg.decoder_dtype,
+                           getattr(model_cfg, "early_dtype", None)))
 
 
 def make_train_step(

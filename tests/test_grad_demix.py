@@ -101,11 +101,13 @@ def test_demix_composes_with_grad_accum():
 
 
 def test_resolve_grad_demix_modes():
-    # 'auto' is conservative (off) until the head-to-head A/B justifies
-    # an on-under-bf16 default (see resolve_grad_demix docstring)
+    # 'auto' = on under any bf16 segment of the shared path — the
+    # correctness-first default backed by the round-4 5-seed A/B
     t_auto = TrainConfig(grad_demix="auto")
-    assert not resolve_grad_demix(
-        t_auto, ModelConfig(compute_dtype="bfloat16"))
+    assert resolve_grad_demix(t_auto, ModelConfig(compute_dtype="bfloat16"))
+    assert resolve_grad_demix(
+        t_auto, ModelConfig(compute_dtype="float32",
+                            decoder_dtype="bfloat16"))
     assert not resolve_grad_demix(
         t_auto, ModelConfig(compute_dtype="float32"))
     assert resolve_grad_demix(TrainConfig(grad_demix="on"), ModelConfig())
