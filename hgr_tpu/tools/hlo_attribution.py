@@ -172,10 +172,10 @@ def capture(args, logdir: str) -> None:
     tw = jnp.ones((B, 21, 1), jnp.float32)
 
     model = MultiTaskNet(dtype=jnp.bfloat16)
-    state, variables = create_train_state(
+    state, _ = create_train_state(
         model, jax.random.PRNGKey(0), (1, 192, 192, 3), lr=1e-3,
         milestones_steps=(10**6,))
-    bstats = variables["batch_stats"]
+    bstats = state.batch_stats
 
     def full_loss(p, xb, yb, tb, twb):
         (cls_out, hmap, _), _ = model.apply(
