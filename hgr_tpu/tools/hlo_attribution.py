@@ -168,7 +168,7 @@ def capture(args, logdir: str) -> None:
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(B, 192, 192, 3), jnp.bfloat16)
     y = jnp.asarray(rng.randint(0, 19, (B,)), jnp.int32)
-    t = jnp.asarray(rng.rand(B, 48, 48, 21), jnp.float32)
+    t = jnp.asarray(rng.rand(B, 21, 48, 48), jnp.float32)  # NCHW targets
     tw = jnp.ones((B, 21, 1), jnp.float32)
 
     model = MultiTaskNet(dtype=jnp.bfloat16)
@@ -181,8 +181,11 @@ def capture(args, logdir: str) -> None:
         (cls_out, hmap, _), _ = model.apply(
             {"params": p, "batch_stats": bstats}, xb, train=True,
             need_attnmap=False, mutable=["batch_stats"])
-        losses = multitask_loss(cls_out, yb, hmap, tb, twb)
-        return losses["total_loss"]
+        from hgr_tpu.models.multitasknet import heatmaps_to_nchw
+
+        total, _ = multitask_loss(cls_out, heatmaps_to_nchw(hmap),
+                                  yb, tb, twb)
+        return total
 
     fn_traced = (jax.grad(full_loss) if args.mode == "train"
                  else full_loss)

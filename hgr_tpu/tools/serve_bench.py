@@ -61,6 +61,50 @@ def run_load(service, n_requests: int, n_clients: int, crops: np.ndarray
     return snap
 
 
+class _DevicePoolService:
+    """ClassifierService over an HBM-resident crop pool: requests carry
+    int32 indices; the batcher's dispatch gathers the crops ON DEVICE
+    and runs the same jitted forward. Exercises the full MicroBatcher
+    path (queue, bucketing, padding, futures, pipelining, metrics) with
+    the host->device payload reduced to 4 bytes/request — the
+    device-bound serving configuration of BENCH_LOG round 4."""
+
+    def __init__(self, base, crops: np.ndarray, args):
+        import jax
+        import jax.numpy as jnp
+
+        from hgr_tpu.serve import MicroBatcher
+
+        pool = jax.device_put(jnp.asarray(crops))
+        base_fwd = base._fwd
+
+        @jax.jit
+        def fwd_idx(idx):
+            return base_fwd(jnp.take(pool, idx, axis=0))
+
+        def dispatch_batch(stacked_idx: np.ndarray):
+            return fwd_idx(jnp.asarray(stacked_idx))
+
+        def materialize(handle):
+            probs, lm, mv = handle
+            probs = np.asarray(probs)
+            labels = probs.argmax(-1)
+            return [{"label": int(l)} for l in labels]
+
+        self.batcher = MicroBatcher(
+            dispatch_batch=dispatch_batch, materialize=materialize,
+            pipeline_depth=args.pipeline_depth, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms, name="device-pool-serve")
+        self.metrics = self.batcher.metrics
+        self.batcher.warm(np.int32(0))
+
+    def classify(self, idx, timeout=None):
+        return self.batcher.submit(np.asarray(idx)).result(timeout=timeout)
+
+    def stop(self):
+        self.batcher.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", default="", help="orbax ckpt dir / .npz; "
@@ -75,6 +119,14 @@ def main() -> None:
                     help="batches kept in flight on the device (1 = the "
                          "old blocking dispatch); >1 overlaps link "
                          "latency with device compute")
+    ap.add_argument("--device_pool", action="store_true",
+                    help="device-bound mode (VERDICT r3 #4): pre-stage "
+                         "the crop pool in HBM once and submit INDICES "
+                         "through the full MicroBatcher machinery — "
+                         "removes the per-request host upload, which on "
+                         "this sandbox's ~20 MB/s tunnel (not on a PCIe "
+                         "host) otherwise bandwidth-caps serving at "
+                         "~180 crops/s regardless of batching")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -131,6 +183,10 @@ def main() -> None:
 
     crops = np.random.RandomState(1).randint(
         0, 255, (64, 192, 192, 3), dtype=np.uint8)
+    if args.device_pool:
+        service.stop()
+        service = _DevicePoolService(service, crops, args)
+        crops = np.arange(len(crops), dtype=np.int32)  # submit indices
     try:
         snap = run_load(service, args.requests, args.clients, crops)
     finally:
@@ -141,6 +197,7 @@ def main() -> None:
         "max_batch": args.max_batch,
         "max_wait_ms": args.max_wait_ms,
         "pipeline_depth": args.pipeline_depth,
+        "device_pool": args.device_pool,
         "quantized": args.quantize,
         "bare_fwd_crops_s": round(bare_fwd_rps),
         "batcher_overhead_pct": round(
