@@ -108,7 +108,7 @@ def kernel_level(batch, steps):
     rng = np.random.RandomState(1)
     scale = D ** -0.5
 
-    def slope_time(fn, *args, k_lo=8, k_hi=32):
+    def slope_time(fn, *args, k_lo=64, k_hi=512):
         @partial(jax.jit, static_argnums=(1,))
         def multi(x, n):
             def body(c, _):
