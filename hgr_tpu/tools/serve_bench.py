@@ -96,7 +96,6 @@ class _DevicePoolService:
             pipeline_depth=args.pipeline_depth, max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms, name="device-pool-serve")
         self.metrics = self.batcher.metrics
-        self.batcher.warm(np.int32(0))
 
     def classify(self, idx, timeout=None):
         return self.batcher.submit(np.asarray(idx)).result(timeout=timeout)
@@ -152,26 +151,42 @@ def main() -> None:
     service = ClassifierService(
         model, variables, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, pipeline_depth=args.pipeline_depth)
-    print("warming all batch buckets...", flush=True)
-    service.warm()
+
+    import time as _time
+
+    crops = np.random.RandomState(1).randint(
+        0, 255, (64, 192, 192, 3), dtype=np.uint8)
+    if args.device_pool:
+        # base service is only a carrier for the jitted forward — never
+        # warm its host-crop buckets (each warm uploads max_batch crops
+        # through the tunnel and compiles a bucket that is never used)
+        service = _DevicePoolService(service, crops, args)
+        print("warming device-pool buckets...", flush=True)
+        service.batcher.warm(np.int32(0))
+        dispatch, materialize = (service.batcher.dispatch_batch,
+                                 service.batcher.materialize)
+        idx = np.zeros((args.max_batch,), np.int32)
+    else:
+        print("warming all batch buckets...", flush=True)
+        service.warm()
+        bare = np.random.RandomState(2).randint(
+            0, 255, (args.max_batch, 192, 192, 3), dtype=np.uint8)
+        dispatch = lambda b=None: service._fwd(bare)  # noqa: E731
+        materialize = lambda h: np.asarray(h[0])  # noqa: E731
+        idx = None
 
     # Bare device forward ceiling at the largest bucket, measured with
     # the pipelining trick the batcher itself uses (K batches in flight,
     # slope between K cancels dispatch+link overhead) — the denominator
     # for "batcher overhead" in BENCH_LOG "device-bound serving".
-    import time as _time
-
-    bare = np.random.RandomState(2).randint(
-        0, 255, (args.max_batch, 192, 192, 3), dtype=np.uint8)
-
     def _pipelined_rate(k):
-        hs = [service._fwd(bare) for _ in range(k)]
+        hs = [dispatch(idx) for _ in range(k)]
         for h in hs:
-            np.asarray(h[0])
+            materialize(h)
         t0 = _time.perf_counter()
-        hs = [service._fwd(bare) for _ in range(k)]
+        hs = [dispatch(idx) for _ in range(k)]
         for h in hs:
-            np.asarray(h[0])
+            materialize(h)
         return _time.perf_counter() - t0
 
     t_lo, t_hi = _pipelined_rate(2), _pipelined_rate(10)
@@ -181,12 +196,8 @@ def main() -> None:
           f"({bare_s_per_batch*1e3:.2f} ms/batch-{args.max_batch})",
           flush=True)
 
-    crops = np.random.RandomState(1).randint(
-        0, 255, (64, 192, 192, 3), dtype=np.uint8)
     if args.device_pool:
-        service.stop()
-        service = _DevicePoolService(service, crops, args)
-        crops = np.arange(len(crops), dtype=np.int32)  # submit indices
+        crops = np.arange(64, dtype=np.int32)  # submit indices
     try:
         snap = run_load(service, args.requests, args.clients, crops)
     finally:
