@@ -199,22 +199,12 @@ def run_chip(args) -> None:
             jax.block_until_ready(state2.params)  # full-step sync
             step_s = (time.perf_counter() - t0) / args.iters
             stats = dev.memory_stats() or {}
-            # the tunneled runtime reports no allocator stats — probe
-            # the remaining headroom empirically: keep allocating 512 MB
-            # slabs next to ballast+step until the device refuses
-            extra = []
-            try:
-                for _ in range(24):
-                    extra.append(jax.block_until_ready(
-                        jnp.zeros((512 << 20,), jnp.uint8)))
-                    # a step must still RUN with the slabs resident
-                    state2, m = step(state2, batch, key)
-                    jax.block_until_ready(m["total_loss"])
-            except Exception:
-                pass
-            headroom_gb = len(extra) * 0.5
-            del extra
-            results.append({
+            # Record the SUCCESS entry before any destructive probing:
+            # the headroom probe below intentionally drives the device
+            # to OOM, and a remote-TPU OOM can poison the client for
+            # every op after it (observed: it fails float() reads and
+            # every later ladder rung in the same process).
+            entry = {
                 "canvas": cs, "grad_accum": accum, "fits": True,
                 "ballast_gb": round(ballast_gb, 2),
                 "step_ms": round(step_s * 1e3, 1),
@@ -222,8 +212,23 @@ def run_chip(args) -> None:
                 "compile_s": round(compile_s, 1),
                 "loss": float(m["total_loss"]),
                 "allocator_stats": bool(stats),
-                "probed_headroom_gb": headroom_gb,
-            })
+            }
+            results.append(entry)
+            print(json.dumps({"fit": entry}), flush=True)
+            if args.probe_headroom:
+                # allocate 512 MB slabs next to ballast+step until the
+                # device refuses; a real step must still run each time
+                extra = []
+                try:
+                    for _ in range(24):
+                        extra.append(jax.block_until_ready(
+                            jnp.zeros((512 << 20,), jnp.uint8)))
+                        state2, m2 = step(state2, batch, key)
+                        jax.block_until_ready(m2["total_loss"])
+                except Exception:
+                    pass
+                entry["probed_headroom_gb"] = len(extra) * 0.5
+                del extra
             del ballast, batch, state, state2
             break  # first fitting config is the answer
         except Exception as exc:  # XlaRuntimeError OOM -> next rung
@@ -244,6 +249,10 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=3)
     ap.add_argument("--grad_accum", type=int, default=2)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--probe_headroom", action="store_true",
+                    help="after a fitting config, allocate 512 MB slabs "
+                         "until OOM to measure headroom (destructive: "
+                         "leaves the remote client unusable afterwards)")
     args = ap.parse_args()
     if args.mode == "virtual":
         run_virtual(args)
