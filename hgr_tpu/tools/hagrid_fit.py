@@ -196,7 +196,11 @@ def run_chip(args) -> None:
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 state2, m = step(state2, batch, key)
-            jax.block_until_ready(state2.params)  # full-step sync
+            # a VALUE read, not block_until_ready: through the axon
+            # tunnel block_until_ready returns on handle existence, not
+            # computation completion (measured: 1.9 "ms" for a ~400 ms
+            # step) — the same reason every slope tool syncs via sums
+            float(m["total_loss"])
             step_s = (time.perf_counter() - t0) / args.iters
             stats = dev.memory_stats() or {}
             # Record the SUCCESS entry before any destructive probing:

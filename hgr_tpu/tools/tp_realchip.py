@@ -119,14 +119,19 @@ def kernel_level(batch, steps):
             y, _ = jax.lax.scan(body, x, None, length=n)
             return y
 
+        def sync(y):
+            # value read: through the axon tunnel block_until_ready
+            # returns on handle existence, not completion
+            return float(jnp.sum(y[0, 0, :4].astype(jnp.float32)))
+
         x0 = jnp.asarray(rng.randn(batch, N, 3 * DIM), jnp.bfloat16)
         ts = {}
         for k in (k_lo, k_hi):
-            multi(x0, k).block_until_ready()
+            sync(multi(x0, k))
             best = []
             for _ in range(steps):
                 t0 = time.perf_counter()
-                multi(x0, k).block_until_ready()
+                sync(multi(x0, k))
                 best.append(time.perf_counter() - t0)
             ts[k] = float(np.median(best))
         return (ts[k_hi] - ts[k_lo]) / (k_hi - k_lo)
