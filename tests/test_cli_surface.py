@@ -167,3 +167,22 @@ def test_convert_cli_roundtrip(tmp_path):
     _run_cli("convert.py", ["--classifier", str(ckpt), "--out", str(out)],
              timeout=600)
     assert out.exists()
+
+
+def test_train_cli_plumbs_every_train_flag():
+    """Every TrainConfig-backed CLI flag must actually reach TrainConfig
+    — regression for the round-4 bug where --grad_demix parsed but never
+    left argparse (the sweep silently ran the plain step). Parse the
+    TrainConfig(...) call in cli/train.py and require one kwarg per
+    tracked flag."""
+    import re
+
+    src = open(os.path.join(REPO, "cli", "train.py")).read()
+    m = re.search(r"train_cfg = TrainConfig\((.*?)\n    \)", src, re.S)
+    assert m, "TrainConfig construction not found"
+    body = m.group(1)
+    for flag in ("batch_size", "epochs", "lr", "lr_step", "lr_factor",
+                 "sigma", "seed", "class_loss_weight", "num_workers",
+                 "canvas_size", "grad_accum", "grad_demix"):
+        assert re.search(rf"{flag}\s*=", body), (
+            f"--{flag} parsed but not passed into TrainConfig")
