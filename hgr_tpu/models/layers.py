@@ -45,6 +45,29 @@ def bn_dtype() -> Any:
             else jnp.float32)
 
 
+# Fused BN(+SiLU) training epilogue routing (ops/bn_act_pallas.py): the
+# hand-derived two-pass backward replaces XLA's autodiff of the BN
+# normalize chain in TRAIN mode. f32-chain numerics at bf16 byte
+# traffic. Same resolution pattern as _BN_DTYPE: explicit override via
+# layers._FUSED_BN, else the HGR_TPU_FUSED_BN env var ('on'/'off',
+# default 'auto'), read lazily at each model trace.
+_FUSED_BN: Optional[bool] = None
+_FUSED_BN_AUTO = False  # 'auto' verdict (see BENCH_LOG round 5 A/B)
+
+
+def fused_bn() -> bool:
+    """Resolve fused-BN routing: explicit _FUSED_BN override if set,
+    else HGR_TPU_FUSED_BN ('on' | 'off' | 'auto'/unset)."""
+    if _FUSED_BN is not None:
+        return _FUSED_BN
+    v = os.environ.get("HGR_TPU_FUSED_BN", "auto")
+    if v in ("1", "on", "true"):
+        return True
+    if v in ("0", "off", "false"):
+        return False
+    return _FUSED_BN_AUTO
+
+
 def torch_kernel_init():
     """torch Conv2d/Linear default init: kaiming_uniform(a=sqrt(5)) ==
     U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (torch nn/init defaults used
@@ -208,6 +231,39 @@ class _S2DConv3x3s2(nn.Module):
             precision=self.precision)
 
 
+class _FusedBNAct(nn.Module):
+    """Train-mode BatchNorm(+SiLU) routed through the fused two-pass
+    custom backward (ops/bn_act_pallas.bn_act).
+
+    Creates the exact flax ``nn.BatchNorm`` variable tree — params
+    ``scale``/``bias``, batch_stats ``mean``/``var``, all float32 — so a
+    checkpoint is route-agnostic: eval (and any run with fused BN off)
+    reads the same variables through ``nn.BatchNorm``. Running-stat
+    update matches flax (momentum EMA, biased batch variance, f32)."""
+
+    use_act: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from hgr_tpu.ops.bn_act_pallas import bn_act
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        out, mean, var = bn_act(x, scale, bias, self.epsilon, self.use_act)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return out
+
+
 class ConvBnAct(nn.Module):
     """conv(bias=False) + BatchNorm + activation
     (reference model/gelan.py:18-56 ``Conv``; default act SiLU).
@@ -273,14 +329,22 @@ class ConvBnAct(nn.Module):
                 precision=self.precision,
                 name="conv",
             )(x)
+        # bf16 BN applies only under a bf16 compute dtype; under f32
+        # compute the normalize chain stays f32 regardless of the knob.
+        chain_dtype = (bn_dtype() if jnp.dtype(self.dtype) == jnp.bfloat16
+                       else jnp.float32)
+        # Fused route: train mode, f32-chain numerics only (an explicit
+        # HGR_TPU_BN_DTYPE=bfloat16 request keeps the flax bf16 chain —
+        # the fused backward IS the f32 chain, just cheaper).
+        if (train and fused_bn()
+                and jnp.dtype(chain_dtype) == jnp.float32):
+            x = _FusedBNAct(use_act=self.use_act, name="bn")(x)
+            return x.astype(self.dtype)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch default 0.1 <=> flax momentum 0.9
             epsilon=1e-5,
-            # bf16 BN applies only under a bf16 compute dtype; under f32
-            # compute the normalize chain stays f32 regardless of the knob.
-            dtype=(bn_dtype() if jnp.dtype(self.dtype) == jnp.bfloat16
-                   else jnp.float32),
+            dtype=chain_dtype,
             name="bn",
         )(x)
         if self.use_act:

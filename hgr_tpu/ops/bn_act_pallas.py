@@ -55,7 +55,7 @@ def _silu_grads(z):
     return s * (1.0 + z * (1.0 - s))
 
 
-def _fwd_chain(y, gamma, beta, eps):
+def _fwd_chain(y, gamma, beta, eps, act=True):
     """Plain XLA forward (fwd fusion was never the bottleneck)."""
     yf = y.astype(jnp.float32)
     axes = tuple(range(y.ndim - 1))
@@ -63,11 +63,11 @@ def _fwd_chain(y, gamma, beta, eps):
     var = jnp.mean(jnp.square(yf - mean), axis=axes)
     r = jax.lax.rsqrt(var + eps)
     z = (yf - mean) * r * gamma + beta
-    out = (z * jax.nn.sigmoid(z)).astype(y.dtype)
+    out = ((z * jax.nn.sigmoid(z)) if act else z).astype(y.dtype)
     return out, mean, var
 
 
-def _bwd_reference(y, gamma, beta, mean, var, g, eps):
+def _bwd_reference(y, gamma, beta, mean, var, g, eps, act=True):
     """Closed-form backward, pure jnp (CPU route + oracle for the
     kernels). Identical math to the Pallas pair."""
     yf = y.astype(jnp.float32)
@@ -75,7 +75,7 @@ def _bwd_reference(y, gamma, beta, mean, var, g, eps):
     r = jax.lax.rsqrt(var + eps)
     xhat = (yf - mean) * r
     z = xhat * gamma + beta
-    dz = gf * _silu_grads(z)
+    dz = gf * _silu_grads(z) if act else gf
     axes = tuple(range(y.ndim - 1))
     t1 = jnp.sum(dz, axis=axes)
     t2 = jnp.sum(dz * xhat, axis=axes)
@@ -88,7 +88,7 @@ def _bwd_reference(y, gamma, beta, mean, var, g, eps):
 
 
 def _reduce_kernel(y_ref, g_ref, mean_ref, r_ref, gamma_ref, beta_ref,
-                   t1_ref, t2_ref):
+                   t1_ref, t2_ref, *, act):
     """Sequential-grid accumulator: every grid step maps to the SAME
     (8, C) output tile (TPU grids execute in order); step 0 zeroes it,
     later steps add their block's partial sums into row 0."""
@@ -109,13 +109,13 @@ def _reduce_kernel(y_ref, g_ref, mean_ref, r_ref, gamma_ref, beta_ref,
     z = xhat * gamma + beta
     # rows past M exist only in the LAST block (host-side pad): their g
     # rows are zero-padded, so dz is already zero there — no mask needed
-    dz = gf * _silu_grads(z)
+    dz = gf * _silu_grads(z) if act else gf
     t1_ref[0, :] += jnp.sum(dz, axis=0)
     t2_ref[0, :] += jnp.sum(dz * xhat, axis=0)
 
 
 def _elem_kernel(y_ref, g_ref, mean_ref, r_ref, gamma_ref, beta_ref,
-                 t1m_ref, t2m_ref, dy_ref):
+                 t1m_ref, t2m_ref, dy_ref, *, act):
     yf = y_ref[...].astype(jnp.float32)
     gf = g_ref[...].astype(jnp.float32)
     mean = mean_ref[...].astype(jnp.float32)
@@ -124,12 +124,12 @@ def _elem_kernel(y_ref, g_ref, mean_ref, r_ref, gamma_ref, beta_ref,
     beta = beta_ref[...]
     xhat = (yf - mean) * r
     z = xhat * gamma + beta
-    dz = gf * _silu_grads(z)
+    dz = gf * _silu_grads(z) if act else gf
     dy = (r * gamma) * (dz - t1m_ref[...] - xhat * t2m_ref[...])
     dy_ref[...] = dy.astype(dy_ref.dtype)
 
 
-def _bwd_pallas(y, gamma, beta, mean, var, g, eps):
+def _bwd_pallas(y, gamma, beta, mean, var, g, eps, act=True):
     orig_shape = y.shape
     c = y.shape[-1]
     m = 1
@@ -152,7 +152,7 @@ def _bwd_pallas(y, gamma, beta, mean, var, g, eps):
     row_spec = pl.BlockSpec((_BLOCK_ROWS, c), lambda i: (i, 0))
     acc_spec = pl.BlockSpec((8, c), lambda i: (0, 0))  # same tile always
     t1p, t2p = pl.pallas_call(
-        _reduce_kernel,
+        functools.partial(_reduce_kernel, act=act),
         grid=(nblocks,),
         in_specs=[row_spec, row_spec, vec_spec, vec_spec, vec_spec,
                   vec_spec],
@@ -165,7 +165,7 @@ def _bwd_pallas(y, gamma, beta, mean, var, g, eps):
 
     mf = jnp.float32(m)
     dy2 = pl.pallas_call(
-        _elem_kernel,
+        functools.partial(_elem_kernel, act=act),
         grid=(nblocks,),
         in_specs=[row_spec, row_spec, vec_spec, vec_spec, vec_spec,
                   vec_spec, vec_spec, vec_spec],
@@ -178,10 +178,20 @@ def _bwd_pallas(y, gamma, beta, mean, var, g, eps):
 
 
 def _use_pallas() -> bool:
+    """Route the backward to the Pallas pair: TPU backend, single-device
+    process only. Under a multi-device mesh the closed-form jnp backward
+    is used instead: its batch reductions are plain jnp sums, so GSPMD
+    partitions them into per-shard partials + cross-device psum — exactly
+    the global-batch-stat semantics the (equally global) forward has
+    under pjit. The Pallas pair would need a custom_partitioning rule
+    whose reduce stage psums t1/t2; until that exists the jnp route is
+    the correct (and still two-pass closed-form) mesh lowering."""
     if not _HAS_PLTPU:
         return False
     try:
-        return jax.default_backend() == "tpu"
+        from hgr_tpu.ops.partitioning import multi_device
+
+        return jax.default_backend() == "tpu" and not multi_device()
     except Exception:  # pragma: no cover
         return False
 
@@ -189,27 +199,32 @@ def _use_pallas() -> bool:
 # ------------------------------------------------------------ custom vjp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def bn_act(y: Array, gamma: Array, beta: Array, eps: float = 1e-5):
-    """silu(batchnorm(y)) with batch statistics, training mode.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bn_act(y: Array, gamma: Array, beta: Array, eps: float = 1e-5,
+           act: bool = True):
+    """[silu](batchnorm(y)) with batch statistics, training mode.
+
+    ``act=False`` drops the SiLU (the ``use_act=False`` ConvBnAct
+    layers, e.g. ResBasicBlock's cv2 / downsample — reference
+    model/gelan.py:59-87): out = z, dz = g, same two-pass backward.
 
     Returns (out, batch_mean, batch_var); mean/var feed running-stat
     updates and carry NO gradient (their cotangents are ignored — the
     flax training path treats stat updates as non-differentiated too).
     """
-    return _fwd_chain(y, gamma, beta, eps)
+    return _fwd_chain(y, gamma, beta, eps, act)
 
 
-def _bn_act_fwd(y, gamma, beta, eps):
-    out, mean, var = _fwd_chain(y, gamma, beta, eps)
+def _bn_act_fwd(y, gamma, beta, eps, act):
+    out, mean, var = _fwd_chain(y, gamma, beta, eps, act)
     return (out, mean, var), (y, gamma, beta, mean, var)
 
 
-def _bn_act_bwd(eps, res, cots):
+def _bn_act_bwd(eps, act, res, cots):
     y, gamma, beta, mean, var = res
     g, _, _ = cots  # mean/var cotangents ignored (non-differentiated)
     impl = _bwd_pallas if _use_pallas() else _bwd_reference
-    dy, dgamma, dbeta = impl(y, gamma, beta, mean, var, g, eps)
+    dy, dgamma, dbeta = impl(y, gamma, beta, mean, var, g, eps, act)
     return dy, dgamma, dbeta
 
 
