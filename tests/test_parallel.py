@@ -257,3 +257,115 @@ def test_resolve_fused_attention_routing():
     # non-dividing model axis: only then the XLA-chain fallback
     assert resolve_fused_attention({"data": 2, "model": 3}, heads=8) is False
     assert resolve_fused_attention({"model": 3}, heads=9) == "split"
+
+
+def test_dp_demixed_step_matches_single_device():
+    """THE SHIPPED DEFAULT under a mesh (VERDICT r4 #2): the demixed
+    two-pullback step (train/steps.py grad_demix — default-on under
+    bf16, cli/train.py) sharded 8-way DP must reproduce the
+    single-device demixed step's loss and parameter update."""
+    aug = AugmentConfig()
+    host = _host_batch(8)
+    key = jax.random.PRNGKey(11)
+
+    state1 = _tiny_state()
+    step1 = make_train_step(aug, grad_demix=True, **STEP_KW)
+    state1, m1 = step1(state1, {k: jnp.asarray(v) for k, v in host.items()},
+                       key)
+
+    mesh = make_mesh({"data": 8})
+    state2 = shard_state(_tiny_state(), mesh)
+    step2 = make_parallel_train_step(mesh, aug, state2, grad_demix=True,
+                                     **STEP_KW)
+    with mesh:
+        sharded = shard_batch(host, mesh)
+        key_r = jax.device_put(
+            key, jax.sharding.NamedSharding(mesh,
+                                            jax.sharding.PartitionSpec()))
+        state2, m2 = step2(state2, sharded, key_r)
+
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(m1["cls_f1score"]), float(m2["cls_f1score"]), rtol=1e-4)
+    p1 = jax.tree_util.tree_leaves(state1.params)[0]
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-5)
+
+
+def test_dp_demixed_full_default_stack_composes():
+    """Demix + grad_accum=2 + remat + fused BN — the full default-stack
+    composition — runs sharded and matches the same stack single-device
+    (loss + update). Covers the exact production configuration of
+    cli/train.py under --mesh."""
+    from hgr_tpu.models import layers
+
+    aug = AugmentConfig(rotate_factor=0.0, scale_factor=0.0,
+                        translate_factor=0.0, horizontal_flip=False,
+                        color_jittering=False)
+    host = _host_batch(16)
+    key = jax.random.PRNGKey(5)
+
+    def make_state():
+        model = MultiTaskNet(image_size=(IMAGE, IMAGE), precision=HI,
+                             remat=True)
+        state, _ = create_train_state(
+            model, jax.random.PRNGKey(0), (1, IMAGE, IMAGE, 3),
+            lr=1e-3, milestones_steps=(1000,))
+        return state
+
+    layers._FUSED_BN = True
+    try:
+        state1 = make_state()
+        step1 = make_train_step(aug, grad_demix=True, grad_accum=2,
+                                **STEP_KW)
+        state1, m1 = step1(
+            state1, {k: jnp.asarray(v) for k, v in host.items()}, key)
+
+        mesh = make_mesh({"data": 8})
+        state2 = shard_state(make_state(), mesh)
+        step2 = make_parallel_train_step(mesh, aug, state2, grad_demix=True,
+                                         grad_accum=2, **STEP_KW)
+        with mesh:
+            sharded = shard_batch(host, mesh)
+            key_r = jax.device_put(
+                key, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()))
+            state2, m2 = step2(state2, sharded, key_r)
+    finally:
+        layers._FUSED_BN = None
+
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=2e-4)
+    p1 = jax.tree_util.tree_leaves(state1.params)[0]
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-5)
+
+
+def test_tp_demixed_step_runs_and_matches():
+    """Demix under a data+tensor-parallel mesh (the two flagship
+    features composed): loss parity with the single-device demixed
+    step, qkv actually sharded on 'model'."""
+    aug = AugmentConfig()
+    host = _host_batch(8)
+    key = jax.random.PRNGKey(13)
+
+    state1 = _tiny_state()
+    step1 = make_train_step(aug, grad_demix=True, **STEP_KW)
+    _, m1 = step1(state1, {k: jnp.asarray(v) for k, v in host.items()}, key)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    state2 = shard_state(_tiny_state(), mesh, tensor_parallel=True)
+    step2 = make_parallel_train_step(
+        mesh, aug, state2, tensor_parallel=True, grad_demix=True, **STEP_KW)
+    with mesh:
+        sharded = shard_batch(host, mesh)
+        key_r = jax.device_put(
+            key, jax.sharding.NamedSharding(mesh,
+                                            jax.sharding.PartitionSpec()))
+        state2, m2 = step2(state2, sharded, key_r)
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=2e-4)
+    qkv = state2.params["decoder"]["transformer"]["layers_0_attn"]["to_qkv"][
+        "kernel"]
+    assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")
