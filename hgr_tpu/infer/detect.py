@@ -347,10 +347,10 @@ def detect_to_video(
                 break
             if isinstance(item, BaseException):
                 raise item
+            if len(inflight) >= depth:  # cap in-flight at pipeline_depth
+                drain_one(inflight)
             inflight.append((item, pipeline.dispatch_frames(
                 np.stack(item))))
-            if len(inflight) > depth:
-                drain_one(inflight)
         while inflight and not stop_ev.is_set():
             drain_one(inflight)
     finally:

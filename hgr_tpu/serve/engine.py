@@ -150,6 +150,10 @@ class MicroBatcher:
         self.metrics = metrics or ServeMetrics()
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # Hard shutdown (stop() after a wedged dispatcher join): makes a
+        # dispatcher blocked on a full _inflight queue fail its batch
+        # instead of leaking, and the completer exit without a sentinel.
+        self._hard_stop = threading.Event()
         # Orders submit()'s stop-check+enqueue against stop()'s
         # flag-set: without it a submit that passed the check could
         # enqueue AFTER stop() drained the queue, leaving its Future
@@ -201,8 +205,27 @@ class MicroBatcher:
         self._q.put(None)  # wake the dispatcher
         self._thread.join(timeout=timeout)
         if self._completer is not None:
-            self._inflight.put(None)  # sentinel after the last dispatch
+            if not self._thread.is_alive():
+                # dispatcher done: the sentinel is strictly after its
+                # last _inflight.put, so the completer drains everything
+                self._inflight.put(None)
+            else:
+                # dispatcher wedged past the join timeout: do NOT race
+                # its (possible) final put with a sentinel — flip the
+                # hard-stop flag, which both unblocks a dispatcher stuck
+                # on a full _inflight (it fails its batch) and makes the
+                # completer exit once the queue is drained.
+                self._hard_stop.set()
             self._completer.join(timeout=timeout)
+            # fail anything still in flight (completer exited/timed out)
+            while True:
+                try:
+                    item = self._inflight.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    self._fail(item[1], item[3],
+                               RuntimeError("server stopped"))
         # fail any requests still queued
         while True:
             try:
@@ -256,9 +279,19 @@ class MicroBatcher:
             except Exception as exc:
                 self._fail(futs, n, exc)
                 return
-            # blocks when pipeline_depth batches are already in flight
-            self._inflight.put((handle, futs, t_in, n, nb))
-            return
+            # blocks when pipeline_depth batches are already in flight;
+            # bounded wait so a hard stop can't leak this thread (and
+            # its batch's futures) on a full queue
+            item = (handle, futs, t_in, n, nb)
+            while True:
+                try:
+                    self._inflight.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    if self._hard_stop.is_set():
+                        self._fail(futs, n,
+                                   RuntimeError("server stopped"))
+                        return
         try:
             outputs = self.run_batch(stacked)
         except Exception as exc:  # propagate to every caller in the batch
@@ -271,7 +304,12 @@ class MicroBatcher:
         its futures. Runs concurrently with the dispatcher, which is
         already assembling + dispatching the next batches."""
         while True:
-            item = self._inflight.get()
+            try:
+                item = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                if self._hard_stop.is_set():
+                    return
+                continue
             if item is None:
                 return
             handle, futs, t_in, n, nb = item

@@ -340,6 +340,11 @@ def fit(
                 "num_classes": model_cfg.num_classes,
                 "compute_dtype": model_cfg.compute_dtype,
                 "decoder_dtype": model_cfg.decoder_dtype,
+                # full mixed-precision recipe + resolved demix mode, so
+                # a run is reproducible from its metadata (ADVICE r4)
+                "early_dtype": model_cfg.early_dtype,
+                "early_units": model_cfg.early_units,
+                "grad_demix": resolve_grad_demix(train_cfg, model_cfg),
             }, f, indent=2)
     train_metrics = EpochMetrics(num_classes)
     val_metrics = EpochMetrics(num_classes)
