@@ -43,19 +43,59 @@ DETECT_CONVS = ["detect0", "detect1", "detect2"]
 
 
 def port_yolov7_tiny_onnx(path: str) -> Dict[str, Any]:
-    """Convert a yolov7-tiny .onnx (BN fused by the exporter) into
-    YOLOv7Tiny variables {params, batch_stats}."""
+    """Convert a yolov7-tiny .onnx into YOLOv7Tiny variables
+    {params, batch_stats}.
+
+    Tolerant of real exporter permutations (VERDICT r4 #8):
+      * BN fused into conv (the published deploy form) OR explicit
+        BatchNormalization nodes (training-form export / fusion off) —
+        a BN consuming a conv's output contributes its real
+        scale/bias/mean/var instead of the identity fold;
+      * weights as graph initializers OR as ``Constant`` nodes
+        (constant folding off);
+      * ``Identity`` indirection between a weight and its conv
+        (torch training-mode exports);
+      * float16 weight storage (cast to float32 at port time).
+    """
     from hgr_tpu.utils.onnx_reader import load_onnx_graph
 
     graph = load_onnx_graph(path)
     inits = {name: t.to_numpy() for name, t in graph.initializers.items()}
 
+    # constant-folding-off exporters: Constant nodes carry weights
+    alias: Dict[str, str] = {}
+    for node in graph.nodes:
+        if node.op_type == "Constant" and node.outputs:
+            t = node.attr_tensors.get("value")
+            if t is not None:
+                inits[node.outputs[0]] = t.to_numpy()
+        elif node.op_type == "Identity" and node.inputs and node.outputs:
+            alias[node.outputs[0]] = node.inputs[0]
+
+    def lookup(name):
+        seen = set()
+        while name in alias and name not in seen:  # Identity chains
+            seen.add(name)
+            name = alias[name]
+        v = inits.get(name)
+        return None if v is None else np.asarray(v, np.float32)
+
+    # BatchNormalization consumers, keyed by their input activation:
+    # BN inputs are [X, scale, B, mean, var] (onnx Operators.md)
+    bn_by_input = {}
+    for node in graph.nodes:
+        if node.op_type == "BatchNormalization" and len(node.inputs) >= 5:
+            bn_by_input[node.inputs[0]] = (
+                tuple(lookup(n) for n in node.inputs[1:5]),
+                node.attr_floats.get("epsilon", 1e-5))
+
     convs = []
     for node in graph.nodes:
         if node.op_type == "Conv":
-            w = inits.get(node.inputs[1])
-            b = inits.get(node.inputs[2]) if len(node.inputs) > 2 else None
-            convs.append((w, b))
+            w = lookup(node.inputs[1])
+            b = lookup(node.inputs[2]) if len(node.inputs) > 2 else None
+            bn = bn_by_input.get(node.outputs[0]) if node.outputs else None
+            convs.append((w, b, bn))
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -80,18 +120,33 @@ def port_yolov7_tiny_onnx(path: str) -> Dict[str, Any]:
         raise ValueError(
             f"unexpected Conv count {len(convs)} in {path}; expected >= "
             f"{n_named + len(DETECT_CONVS)}")
-    for name, (w, b) in zip(CONV_ORDER, convs[:n_named]):
+    for name, (w, b, bn) in zip(CONV_ORDER, convs[:n_named]):
         kernel = np.transpose(w, (2, 3, 1, 0))
         put(params, f"{name}/conv/kernel", kernel)
         c = kernel.shape[-1]
-        put(params, f"{name}/bn/scale", np.ones((c,), np.float32))
-        put(params, f"{name}/bn/bias",
-            b.astype(np.float32) if b is not None else np.zeros((c,),
-                                                                np.float32))
-        put(stats, f"{name}/bn/mean", np.zeros((c,), np.float32))
-        put(stats, f"{name}/bn/var",
-            np.full((c,), identity_var, np.float32))
-    for name, (w, b) in zip(DETECT_CONVS, convs[n_named:n_named + 3]):
+        if bn is not None and all(v is not None for v in bn[0]):
+            # explicit BatchNormalization node: use its real parameters.
+            # An exporter-level conv bias (rare in this form) folds into
+            # the BN mean: BN((conv+b)) == BN(conv) with mean -= b. The
+            # node's epsilon is reconciled with the model's BN_EPS via
+            # the variance: 1/sqrt(var + eps_onnx) == 1/sqrt(var' + BN_EPS)
+            # with var' = var + eps_onnx - BN_EPS.
+            (scale, bias, mean, var), eps_onnx = bn
+            if b is not None:
+                mean = mean - b
+            put(params, f"{name}/bn/scale", scale)
+            put(params, f"{name}/bn/bias", bias)
+            put(stats, f"{name}/bn/mean", mean)
+            put(stats, f"{name}/bn/var",
+                var + np.float32(eps_onnx - BN_EPS))
+        else:
+            put(params, f"{name}/bn/scale", np.ones((c,), np.float32))
+            put(params, f"{name}/bn/bias",
+                b if b is not None else np.zeros((c,), np.float32))
+            put(stats, f"{name}/bn/mean", np.zeros((c,), np.float32))
+            put(stats, f"{name}/bn/var",
+                np.full((c,), identity_var, np.float32))
+    for name, (w, b, _bn) in zip(DETECT_CONVS, convs[n_named:n_named + 3]):
         put(params, f"{name}/kernel", np.transpose(w, (2, 3, 1, 0)))
         put(params, f"{name}/bias",
             b if b is not None else np.zeros((w.shape[0],), np.float32))

@@ -187,12 +187,36 @@ def _parse_tensor(buf: bytes) -> OnnxTensor:
 
 @dataclasses.dataclass
 class OnnxNode:
-    """Decoded NodeProto (attributes omitted — the porter is weight-only)."""
+    """Decoded NodeProto. Scalar attributes are omitted (the porter is
+    weight-only) but TENSOR attributes are kept: exporters with
+    constant folding off emit conv weights as ``Constant`` nodes whose
+    payload lives in the ``value`` attribute, not in the graph
+    initializer list."""
 
     op_type: str
     name: str
     inputs: List[str]
     outputs: List[str]
+    attr_tensors: Dict[str, OnnxTensor] = dataclasses.field(
+        default_factory=dict)
+    attr_floats: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+
+def _parse_attr_tensor(buf: bytes):
+    """AttributeProto (onnx.proto): name=1, f=2 (float), t=5
+    (TensorProto). Other payload kinds (i/s/ints/floats/...) are
+    skipped — the porter needs weights (t) and BN's epsilon (f)."""
+    name = ""
+    tensor: Optional[OnnxTensor] = None
+    fval: Optional[float] = None
+    for field, wire, payload in _fields(buf):
+        if field == 1:
+            name = payload.decode("utf-8")
+        elif field == 2 and wire == 5:
+            fval = struct.unpack("<f", payload)[0]
+        elif field == 5:
+            tensor = _parse_tensor(payload)
+    return name, tensor, fval
 
 
 def _parse_node(buf: bytes) -> OnnxNode:
@@ -200,6 +224,8 @@ def _parse_node(buf: bytes) -> OnnxNode:
     outputs: List[str] = []
     name = ""
     op_type = ""
+    attr_tensors: Dict[str, OnnxTensor] = {}
+    attr_floats: Dict[str, float] = {}
     for field, _wire, payload in _fields(buf):
         if field == 1:
             inputs.append(payload.decode("utf-8"))
@@ -209,8 +235,15 @@ def _parse_node(buf: bytes) -> OnnxNode:
             name = payload.decode("utf-8")
         elif field == 4:
             op_type = payload.decode("utf-8")
+        elif field == 5:  # attribute (repeated AttributeProto)
+            aname, atensor, afloat = _parse_attr_tensor(payload)
+            if atensor is not None:
+                attr_tensors[aname] = atensor
+            if afloat is not None:
+                attr_floats[aname] = afloat
     return OnnxNode(op_type=op_type, name=name, inputs=inputs,
-                    outputs=outputs)
+                    outputs=outputs, attr_tensors=attr_tensors,
+                    attr_floats=attr_floats)
 
 
 @dataclasses.dataclass

@@ -437,3 +437,74 @@ def test_onnx_reader_float16_int32_data_bitcast():
     t = _parse_tensor(_tensor_proto(10, [0x3C00, 0xC000, 0], (3,)))
     np.testing.assert_array_equal(
         t.to_numpy().astype(np.float32), [1.0, -2.0, 0.0])
+
+
+# ---------------------------------------------------------------------------
+# Export-permutation matrix (VERDICT r4 #8): the reader+porter must
+# survive the ways a real yolov7-tiny.onnx may plausibly differ from our
+# canonical export — opset version, constant folding off (weights as
+# Constant nodes / Identity indirection), training-form BN (explicit
+# BatchNormalization nodes), dynamic axes. Every arm goes through the
+# REAL torch.onnx exporter and must port to numeric parity.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def matrix_torch_model():
+    tm = TorchYoloV7Tiny(num_classes=1, seed=23)
+    tm.eval()
+    return tm
+
+
+@pytest.mark.parametrize(
+    "opset,bn_fused,const_fold,dynamic",
+    [
+        (11, True, True, False),
+        (13, True, True, False),
+        (12, True, False, False),   # constant folding OFF
+        (12, False, True, False),   # training-form module (explicit BN)
+        (12, False, False, False),  # both off
+        (12, True, True, True),     # dynamic batch axis
+    ],
+    ids=["opset11", "opset13", "nofold", "unfused_bn", "unfused_nofold",
+         "dynamic_axes"])
+def test_torch_export_matrix_ports_to_parity(
+        matrix_torch_model, tmp_path, opset, bn_fused, const_fold, dynamic):
+    from hgr_tpu.infer.onnx_export import _ensure_onnx_stub
+    from hgr_tpu.models.yolo import YOLOv7Tiny
+    from hgr_tpu.utils.onnx_port import port_yolov7_tiny_onnx
+
+    tm = matrix_torch_model
+    module = FusedTorchYoloV7Tiny(tm) if bn_fused else tm
+    module.eval()
+    path = str(tmp_path / "variant.onnx")
+    kw = dict(opset_version=opset, dynamo=False,
+              do_constant_folding=const_fold,
+              input_names=["images"], output_names=["p3", "p4", "p5"])
+    if dynamic:
+        kw["dynamic_axes"] = {"images": {0: "batch"},
+                              "p3": {0: "batch"}, "p4": {0: "batch"},
+                              "p5": {0: "batch"}}
+    undo_stub = _ensure_onnx_stub()
+    try:
+        try:
+            torch.onnx.export(module, (torch.zeros(1, 3, 128, 128),),
+                              path, **kw)
+        except Exception as e:  # pragma: no cover - exporter drift
+            pytest.skip(f"torch.onnx.export unavailable: {e}")
+    finally:
+        undo_stub()
+
+    variables = port_yolov7_tiny_onnx(path)
+    x = np.random.RandomState(9).rand(1, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    model = YOLOv7Tiny(num_classes=1, precision=HI)
+    j_outs = jax.jit(
+        lambda v, im: model.apply(v, im, train=False))(
+            jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(x))
+    for s, (jo, to) in enumerate(zip(j_outs, t_outs)):
+        ref = to.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(jo), ref, rtol=2e-3, atol=2e-3,
+            err_msg=f"scale {s} (stride {8 * 2 ** s})")
