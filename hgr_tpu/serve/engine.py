@@ -84,6 +84,59 @@ class ServeMetrics:
             return out
 
 
+class _AggState:
+    """Shared completion state behind one ``submit_many`` aggregate
+    Future: a results list filled by slot index and a lock-guarded
+    remaining counter; the aggregate resolves exactly once when the last
+    slot lands (first recorded exception wins)."""
+
+    __slots__ = ("agg", "results", "remaining", "error", "lock")
+
+    def __init__(self, agg: Future, n: int):
+        self.agg = agg
+        self.results: List[Any] = [None] * n
+        self.remaining = n
+        self.error: Optional[BaseException] = None
+        self.lock = threading.Lock()
+
+    def land(self, i: int, value: Any, exc: Optional[BaseException]) -> None:
+        with self.lock:
+            if exc is not None and self.error is None:
+                self.error = exc
+            elif exc is None:
+                self.results[i] = value
+            self.remaining -= 1
+            done = self.remaining == 0
+        if done:
+            if self.error is not None:
+                self.agg.set_exception(self.error)
+            else:
+                self.agg.set_result(self.results)
+
+
+class _Slot:
+    """Future-shaped handle for one ``submit_many`` item — duck-types
+    the subset of concurrent.futures.Future the dispatcher/completer
+    touch (cancelled / set_result / set_exception) at a fraction of the
+    cost (no per-item condition variable)."""
+
+    __slots__ = ("state", "i")
+
+    def __init__(self, state: _AggState, i: int):
+        self.state = state
+        self.i = i
+
+    @staticmethod
+    def cancelled() -> bool:
+        return False
+
+    def set_result(self, value: Any) -> None:
+        self.state.land(self.i, value, None)
+
+    def set_exception(self, exc: BaseException) -> None:
+        self.state.land(self.i, None, exc)
+
+
 def _buckets_upto(max_batch: int) -> List[int]:
     out, b = [], 1
     while b < max_batch:
@@ -184,6 +237,33 @@ class MicroBatcher:
                 raise RuntimeError("MicroBatcher is stopped")
             self._q.put((np.asarray(x), fut, time.monotonic()))
         return fut
+
+    def submit_many(self, xs: Sequence[np.ndarray]) -> Future:
+        """Enqueue a window of items behind ONE aggregate Future that
+        resolves to the list of per-item outputs (first error wins).
+
+        The per-request resolution cost of ``submit`` — a
+        concurrent.futures.Future allocation, its condition-variable
+        set_result, and a client-side result() wait EACH — collapses to
+        one Future per window plus a slot write and a counter decrement
+        per item. On a single-core serving host that Python work is the
+        measured 13.5% gap to the device ceiling (BENCH_LOG round 4);
+        windowed clients (tools/serve_bench.py --window) should submit
+        through this. Items still batch individually, so cross-client
+        micro-batching is unchanged."""
+        xs = [np.asarray(x) for x in xs]
+        agg: Future = Future()
+        if not xs:
+            agg.set_result([])
+            return agg
+        shared = _AggState(agg, len(xs))
+        now = time.monotonic()
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("MicroBatcher is stopped")
+            for i, x in enumerate(xs):
+                self._q.put((x, _Slot(shared, i), now))
+        return agg
 
     def __call__(self, x: np.ndarray, timeout: Optional[float] = None):
         return self.submit(x).result(timeout=timeout)
@@ -374,6 +454,15 @@ class DetectorService:
                 f"expected ({h}, {w}, 3) uint8 frame, got {frame_u8.shape}")
         return self.batcher.submit(frame_u8)
 
+    def submit_many(self, frames_u8: Sequence[np.ndarray]) -> Future:
+        """One aggregate future for a window of frames (submit_many)."""
+        h, w = self.frame_hw
+        for f in frames_u8:
+            if f.shape != (h, w, 3):
+                raise ValueError(
+                    f"expected ({h}, {w}, 3) uint8 frame, got {f.shape}")
+        return self.batcher.submit_many(frames_u8)
+
     def detect(self, frame_u8: np.ndarray,
                timeout: Optional[float] = None):
         return self.submit(frame_u8).result(timeout=timeout)
@@ -469,6 +558,15 @@ class ClassifierService:
             raise ValueError(
                 f"expected ({h}, {w}, 3) uint8 crop, got {crop_u8.shape}")
         return self.batcher.submit(crop_u8)
+
+    def submit_many(self, crops_u8: Sequence[np.ndarray]) -> Future:
+        """One aggregate future for a window of crops (submit_many)."""
+        h, w = self.image_size
+        for c in crops_u8:
+            if c.shape != (h, w, 3):
+                raise ValueError(
+                    f"expected ({h}, {w}, 3) uint8 crop, got {c.shape}")
+        return self.batcher.submit_many(crops_u8)
 
     def classify(self, crop_u8: np.ndarray,
                  timeout: Optional[float] = None) -> Dict[str, Any]:

@@ -33,11 +33,17 @@ sys.path.insert(0, REPO)
 
 
 def run_load(service, n_requests: int, n_clients: int, crops: np.ndarray,
-             window: int = 1) -> dict:
+             window: int = 1, bulk: bool = False) -> dict:
     """``window`` > 1 keeps that many requests outstanding PER CLIENT
     (submit a window of futures, then resolve them) — without it, N
     synchronous clients on a high-RTT link cap throughput at
-    N/RTT by Little's law regardless of server capacity."""
+    N/RTT by Little's law regardless of server capacity.
+
+    ``bulk`` routes each window through MicroBatcher.submit_many: ONE
+    aggregate future per window instead of per-request futures — the
+    batched-future-resolution arm of the ceiling-gap attack (the
+    per-request Future/set_result/result() Python work was the measured
+    13.5% overhead, BENCH_LOG round 4)."""
     done = threading.Barrier(n_clients + 1)
     counter = {"i": 0}
     lock = threading.Lock()
@@ -50,6 +56,11 @@ def run_load(service, n_requests: int, n_clients: int, crops: np.ndarray,
                 if take <= 0:
                     break
                 counter["i"] += take
+            if bulk:
+                service.submit_many(
+                    [crops[rng.randint(len(crops))] for _ in range(take)]
+                ).result(timeout=120.0)
+                continue
             futs = [service.submit(crops[rng.randint(len(crops))])
                     for _ in range(take)]
             for f in futs:
@@ -108,6 +119,9 @@ class _DevicePoolService:
     def submit(self, idx):
         return self.batcher.submit(np.asarray(idx))
 
+    def submit_many(self, idxs):
+        return self.batcher.submit_many(idxs)
+
     def classify(self, idx, timeout=None):
         return self.submit(idx).result(timeout=timeout)
 
@@ -132,6 +146,10 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=1,
                     help="outstanding requests per client (Little's-law "
                          "relief on high-RTT links)")
+    ap.add_argument("--bulk", action="store_true",
+                    help="submit each client window through ONE "
+                         "aggregate future (MicroBatcher.submit_many) "
+                         "instead of per-request futures")
     ap.add_argument("--device_pool", action="store_true",
                     help="device-bound mode (VERDICT r3 #4): pre-stage "
                          "the crop pool in HBM once and submit INDICES "
@@ -214,7 +232,7 @@ def main() -> None:
         crops = np.arange(64, dtype=np.int32)  # submit indices
     try:
         snap = run_load(service, args.requests, args.clients, crops,
-                        window=args.window)
+                        window=args.window, bulk=args.bulk)
     finally:
         service.stop()
     result = {
@@ -225,6 +243,7 @@ def main() -> None:
         "pipeline_depth": args.pipeline_depth,
         "device_pool": args.device_pool,
         "window": args.window,
+        "bulk": args.bulk,
         "quantized": args.quantize,
         "bare_fwd_crops_s": round(bare_fwd_rps),
         "batcher_overhead_pct": round(

@@ -477,3 +477,63 @@ def test_http_detect_endpoint(tiny_service):
         httpd.shutdown()
         thread.join(timeout=5.0)
         det.stop()
+
+
+def test_submit_many_aggregate_roundtrip():
+    """submit_many resolves ONE future to the ordered list of per-item
+    outputs; items still flow through the normal batching path."""
+    calls = []
+    mb = MicroBatcher(_sum_runner(calls), max_batch=8, max_wait_ms=50.0)
+    try:
+        fut = mb.submit_many([np.full((2,), float(i)) for i in range(5)])
+        assert fut.result(timeout=10.0) == [2.0 * i for i in range(5)]
+        assert mb.metrics.snapshot()["requests"] == 5
+        assert mb.submit_many([]).result(timeout=1.0) == []
+    finally:
+        mb.stop()
+
+
+def test_submit_many_mixes_with_submit_in_one_batch():
+    """Window items and plain submits share a dispatch (cross-client
+    micro-batching is unchanged by bulk submission)."""
+    calls = []
+    release = threading.Event()
+
+    def run_batch(stacked):
+        release.wait(5.0)
+        calls.append(stacked.shape[0])
+        return [float(x.sum()) for x in stacked]
+
+    mb = MicroBatcher(run_batch, max_batch=16, max_wait_ms=50.0)
+    try:
+        f_single = mb.submit(np.full((2,), 10.0))
+        f_bulk = mb.submit_many([np.full((2,), float(i))
+                                 for i in range(4)])
+        release.set()
+        assert f_single.result(timeout=10.0) == 20.0
+        assert f_bulk.result(timeout=10.0) == [0.0, 2.0, 4.0, 6.0]
+        assert len(calls) <= 2  # shared dispatches, not 5 singles
+    finally:
+        mb.stop()
+
+
+def test_submit_many_error_wins_once():
+    """A runner error fails the aggregate exactly once with the batch's
+    exception (first error wins; no hang on partial completion)."""
+    def run_batch(stacked):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(run_batch, max_batch=4, max_wait_ms=20.0)
+    try:
+        fut = mb.submit_many([np.zeros((1,)) for _ in range(6)])  # 2 batches
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=10.0)
+    finally:
+        mb.stop()
+
+
+def test_submit_many_after_stop_raises():
+    mb = MicroBatcher(lambda s: [0.0] * s.shape[0], max_batch=4)
+    mb.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        mb.submit_many([np.zeros((1,))])
