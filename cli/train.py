@@ -60,10 +60,12 @@ def parse_args():
                              '(ModelConfig.early_dtype)')
     parser.add_argument('--early_units', type=int, default=3)
     parser.add_argument('--grad_demix', type=str, default='auto',
-                        choices=['auto', 'on', 'off'],
+                        choices=['auto', 'on', 'off', 'batched'],
                         help='de-mixed per-task gradient pullbacks (exact '
-                             'bf16 multi-task gradients, one extra '
-                             'backward; auto = on under bf16 compute)')
+                             'bf16 multi-task gradients; auto = on under '
+                             'bf16 compute). batched = same de-mixed math '
+                             'as ONE batch-2 backward (residuals read '
+                             'once) instead of two pullbacks')
     parser.add_argument('--mesh', type=str, default='',
                         help="mesh spec, e.g. 'data=8' or 'data=4,model=2'; "
                              'empty = single device')

@@ -163,7 +163,7 @@ class TrainConfig:
     # gradients at one extra backward pass. 'auto' = on iff the model
     # computes in bf16 (where the merged cotangent stream drowns the
     # CE-x-0.001 classification gradient), off for f32.
-    grad_demix: str = "auto"  # 'auto' | 'on' | 'off'
+    grad_demix: str = "auto"  # 'auto' | 'on' | 'off' | 'batched'
 
 
 # ImageNet normalization constants applied to (BGR-ordered!) images —

@@ -56,9 +56,12 @@ def main() -> None:
     parser.add_argument("--k_hi", type=int, default=16)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--platform", type=str, default="")
-    parser.add_argument("--grad_demix", action="store_true",
-                        help="time the de-mixed two-pullback step "
-                             "(train/steps.py grad_demix)")
+    parser.add_argument("--grad_demix", nargs="?", const="on",
+                        default="off", choices=["on", "off", "batched"],
+                        help="time the de-mixed step (train/steps.py "
+                             "grad_demix): bare flag/'on' = two "
+                             "pullbacks, 'batched' = one batch-2 "
+                             "backward")
     parser.add_argument("--bn_dtype", type=str, default="",
                         choices=["", "float32", "bfloat16"])
     args = parser.parse_args()
@@ -99,8 +102,10 @@ def main() -> None:
 
         layers._BN_DTYPE = (jnp.bfloat16 if args.bn_dtype == "bfloat16"
                             else jnp.float32)
+    demix = {"on": True, "off": False, "batched": "batched"}[
+        args.grad_demix]
     inner = make_train_step(AugmentConfig(), donate=False,
-                            grad_demix=args.grad_demix)
+                            grad_demix=demix)
     step_fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner
 
     from functools import partial

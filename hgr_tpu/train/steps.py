@@ -96,19 +96,21 @@ def _step_metrics(data, parts, cls_out, hmap, num_classes, mask):
     }, pred_label
 
 
-def resolve_grad_demix(train_cfg, model_cfg) -> bool:
-    """Resolve the TrainConfig.grad_demix mode ('auto' | 'on' | 'off').
+def resolve_grad_demix(train_cfg, model_cfg):
+    """Resolve the TrainConfig.grad_demix mode
+    ('auto' | 'on' | 'off' | 'batched') to False | True | 'batched'.
 
-    'auto' = ON exactly when some segment of the shared path computes in
-    bf16. Evidence (BENCH_LOG round 4): across 5 paired seeds the plain
-    merged bf16 backward loses a reproducible ~0.06 test macro-F1 to the
-    de-mixed step (reference-beating 0.268 vs 0.193 plain / 0.205
-    reference), at a measured +68% step cost (B=1024: 447 ms vs 266 ms).
-    Correctness-first default; `--grad_demix off` restores the 3.9-4.0k
-    crops/s speed mode with the documented classification deficit."""
+    'auto' = de-mixed exactly when some segment of the shared path
+    computes in bf16. Evidence (BENCH_LOG round 4): across 5 paired
+    seeds the plain merged bf16 backward loses a reproducible ~0.06
+    test macro-F1 to the de-mixed step (reference-beating 0.268 vs
+    0.193 plain / 0.205 reference). Correctness-first default;
+    `--grad_demix off` restores the speed mode with the documented
+    classification deficit. 'batched' is the same de-mixed math
+    evaluated as one batch-2 backward (see make_train_step)."""
     mode = getattr(train_cfg, "grad_demix", "auto")
-    if mode in ("on", "off"):
-        return mode == "on"
+    if mode in ("on", "off", "batched"):
+        return "batched" if mode == "batched" else mode == "on"
     return ("bfloat16" in (model_cfg.compute_dtype,
                            model_cfg.decoder_dtype,
                            getattr(model_cfg, "early_dtype", None)))
@@ -159,7 +161,19 @@ def make_train_step(
     crosses bf16 somewhere in each). De-mixed, each backward carries a
     single task's cotangents at full relative precision in bf16. Cost:
     one extra backward pass (the forward/linearization is shared).
+
+    ``grad_demix='batched'`` evaluates the SAME two pullbacks as one
+    ``jax.vmap`` of the pullback over a 2-row cotangent basis — one
+    batch-2 backward instead of two backwards. Identical math and the
+    same single-task-per-row precision property (the rows never add
+    inside the backward; the f32 combine at the parameter level is
+    unchanged). The win is memory traffic: every saved residual
+    activation and every weight is read ONCE by the batched backward
+    ops instead of once per pullback, attacking the HBM-bound share of
+    the demix overhead (BENCH_LOG round 5 A/B).
     """
+    demix_batched = grad_demix == "batched"
+    grad_demix = bool(grad_demix)
 
     def train_step(state: TrainState, batch: Dict[str, Array], key: Array):
         def _one_micro(params, stats, mbatch, mkey):
@@ -204,12 +218,24 @@ def make_train_step(
             ((ce, jl), vjp_fn, (cls_out, hmap_nchw, new_stats)) = jax.vjp(
                 fwd, params, has_aux=True)
             one, zero = jnp.float32(1.0), jnp.float32(0.0)
-            (g_ce,) = vjp_fn((one, zero))
-            (g_jl,) = vjp_fn((zero, one))
-            grads = jax.tree_util.tree_map(
-                lambda a, b: (b.astype(jnp.float32)
-                              + class_loss_weight * a.astype(jnp.float32)),
-                g_ce, g_jl)
+            if demix_batched:
+                # both pullbacks as ONE batch-2 backward: rows are the
+                # cotangent basis [(1,0), (0,1)]; residuals/weights are
+                # read once (see make_train_step docstring)
+                (g2,) = jax.vmap(vjp_fn)(
+                    (jnp.stack([one, zero]), jnp.stack([zero, one])))
+                grads = jax.tree_util.tree_map(
+                    lambda g: (g[1].astype(jnp.float32)
+                               + class_loss_weight
+                               * g[0].astype(jnp.float32)), g2)
+            else:
+                (g_ce,) = vjp_fn((one, zero))
+                (g_jl,) = vjp_fn((zero, one))
+                grads = jax.tree_util.tree_map(
+                    lambda a, b: (b.astype(jnp.float32)
+                                  + class_loss_weight
+                                  * a.astype(jnp.float32)),
+                    g_ce, g_jl)
             class_loss = ce * class_loss_weight
             parts = {"total_loss": class_loss + jl,
                      "class_loss": class_loss, "joints_loss": jl}

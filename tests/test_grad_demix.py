@@ -114,3 +114,66 @@ def test_resolve_grad_demix_modes():
     assert not resolve_grad_demix(
         TrainConfig(grad_demix="off"),
         ModelConfig(compute_dtype="bfloat16"))
+
+
+def test_batched_demix_matches_two_pullbacks():
+    """'batched' evaluates the same two pullbacks as one batch-2
+    backward — gradients must match the two-pullback form to float
+    noise in both dtypes (identical math, batched evaluation). f32 is
+    the exactness proof (1e-5); bf16 rows round differently through
+    batched reduce orders, so its bound is bf16-reprojection scale."""
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 3e-2)):
+        g0, m0 = _grads(dtype, True)
+        g1, m1 = _grads(dtype, "batched")
+        np.testing.assert_allclose(float(m0["total_loss"]),
+                                   float(m1["total_loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            na = float(jnp.linalg.norm(a))
+            nb = float(jnp.linalg.norm(b - a))
+            assert nb <= tol * max(na, 1e-6), (dtype, na, nb)
+
+
+def test_batched_demix_composes_with_grad_accum_and_mesh():
+    """batched demix under grad_accum and under an 8-way DP mesh."""
+    from hgr_tpu.parallel.mesh import make_mesh, shard_batch
+    from hgr_tpu.parallel.steps import (make_parallel_train_step,
+                                        shard_state)
+
+    model = MultiTaskNet(image_size=(IMAGE, IMAGE))
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(42), (1, IMAGE, IMAGE, 3), lr=1e-3,
+        milestones_steps=(100,))
+    astep = make_train_step(AugmentConfig(), image_size=(IMAGE, IMAGE),
+                            heatmap_size=(IMAGE // 4, IMAGE // 4),
+                            donate=False, grad_demix="batched",
+                            grad_accum=2)
+    _, ma = astep(state, _batch(b=8), jax.random.PRNGKey(7))
+    assert np.isfinite(float(ma["total_loss"]))
+
+    # mesh arm compares like-for-like: accum=1 both sides (grad_accum
+    # splits the augment key per microbatch, so its loss differs)
+    step = make_train_step(AugmentConfig(), image_size=(IMAGE, IMAGE),
+                           heatmap_size=(IMAGE // 4, IMAGE // 4),
+                           donate=False, grad_demix="batched")
+    _, m = step(state, _batch(b=8), jax.random.PRNGKey(7))
+
+    mesh = make_mesh({"data": 8})
+    state2 = shard_state(state, mesh)
+    pstep = make_parallel_train_step(
+        mesh, AugmentConfig(), state2, image_size=(IMAGE, IMAGE),
+        heatmap_size=(IMAGE // 4, IMAGE // 4), grad_demix="batched")
+    with mesh:
+        sb = shard_batch({k: np.asarray(v)
+                          for k, v in _batch(b=8).items()}, mesh)
+        key = jax.device_put(
+            jax.random.PRNGKey(7),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        _, m2 = pstep(state2, sb, key)
+    np.testing.assert_allclose(float(m["total_loss"]),
+                               float(m2["total_loss"]), rtol=2e-4)
+
+
+def test_resolve_grad_demix_batched_mode():
+    assert resolve_grad_demix(
+        TrainConfig(grad_demix="batched"), ModelConfig()) == "batched"
