@@ -64,6 +64,12 @@ def main() -> None:
                              "backward")
     parser.add_argument("--bn_dtype", type=str, default="",
                         choices=["", "float32", "bfloat16"])
+    parser.add_argument("--remat", action="store_true",
+                        help="backbone+pose-head rematerialization "
+                             "(ModelConfig.remat) — the production "
+                             "big-batch config (tools/hagrid_fit.py)")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="grad_accum microbatches")
     args = parser.parse_args()
 
     import jax
@@ -93,7 +99,7 @@ def main() -> None:
         "label": jnp.asarray(rng.randint(0, 19, (B,)), jnp.int32),
     }
 
-    model = MultiTaskNet(dtype=jnp.bfloat16)
+    model = MultiTaskNet(dtype=jnp.bfloat16, remat=args.remat)
     state, _ = create_train_state(model, jax.random.PRNGKey(0),
                                   (1, 192, 192, 3), lr=1e-3,
                                   milestones_steps=(10**6,))
@@ -105,7 +111,7 @@ def main() -> None:
     demix = {"on": True, "off": False, "batched": "batched"}[
         args.grad_demix]
     inner = make_train_step(AugmentConfig(), donate=False,
-                            grad_demix=demix)
+                            grad_demix=demix, grad_accum=args.accum)
     step_fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner
 
     from functools import partial
@@ -141,6 +147,8 @@ def main() -> None:
         "crops_per_s": round(B / slope, 0),
         "batch": B,
         "grad_demix": args.grad_demix,
+        "remat": args.remat,
+        "accum": args.accum,
         "bn_dtype": args.bn_dtype or "float32",
         "overhead_cancelled_ms": round(
             (results[args.k_lo] - slope * args.k_lo) * 1e3, 1),
