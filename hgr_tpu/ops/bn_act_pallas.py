@@ -24,9 +24,21 @@ mean/var outputs feed running-stat updates and are NOT differentiated.
 The custom backward is routed to the Pallas pair on TPU and to an
 identical pure-jnp implementation elsewhere (CPU tests pin both the
 backward math against autodiff of the plain chain and the two routes
-against each other). Integration into models/layers.ConvBnAct is the
-round-5 step; this round ships the op + the measured micro-A/B
-(tools/bn_epilogue_ab.py) at the backbone's real layer shapes.
+against each other).
+
+STATUS (round 5): integrated into models/layers.ConvBnAct behind
+HGR_TPU_FUSED_BN (layers._FusedBNAct) and measured on the real chip —
+it LOSES at train-step level (B=1024 demixed step: 640.1 ms fused vs
+455.7 ms flax route, bench_artifacts/r5/slope_demix_fused*.txt; the
+plain step OOMs at B=1024 with it on). The custom-call boundary forces
+layout copies of the full (M, C)-reshaped activation and cotangent
+before each kernel (observed as bf16[M,C] HLO-temp copies in the OOM
+dump) — more HBM traffic than the autodiff chain's fused reads, the
+exact cost the kernel was meant to remove. Default stays OFF
+(_FUSED_BN_AUTO = False); the op remains available and
+grad/stat-equivalence is pinned by tests/test_fused_bn.py. Same
+measured-and-rejected register as the s2d/dense_grad stride-2
+lowerings (BENCH_LOG round 5).
 """
 
 from __future__ import annotations
