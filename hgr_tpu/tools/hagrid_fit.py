@@ -151,7 +151,7 @@ def run_chip(args) -> None:
 
     enable_compilation_cache()
     dev = jax.devices()[0]
-    n_local = -(-HAGRID_N // 8)
+    n_local = -(-args.n // 8)  # per-chip rows of an 8-chip pod split
 
     ladder = [
         {"canvas": args.canvas, "grad_accum": args.grad_accum},
