@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--k_lo", type=int, default=2)
     ap.add_argument("--k_hi", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--per_shape", action="store_true",
+                    help="time each distinct layer shape in its OWN "
+                         "small jit and sum count-weighted (the single "
+                         "25-layer chained program reliably crashes "
+                         "this sandbox's remote compile helper — "
+                         "'Broken pipe', two attempts, BENCH_LOG r5)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -151,6 +157,73 @@ def main() -> None:
     print(json.dumps({"max_rel_grad_diff": round(rel, 5),
                       "check_batch": bc,
                       "checked_shapes": len(seen_shapes)}), flush=True)
+
+    if args.per_shape:
+        def shape_slope(hw, c, fused):
+            y0 = jnp.asarray(rng.randn(B, hw, hw, c) * 0.5, jnp.bfloat16)
+            ct = jnp.asarray(rng.randn(B, hw, hw, c), jnp.bfloat16)
+            gm = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+            bt = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+
+            def one(y):
+                out = (bna.bn_act(y, gm, bt, 1e-5)[0] if fused
+                       else chain(y, gm, bt))
+                return jnp.sum(out.astype(jnp.float32)
+                               * ct.astype(jnp.float32))
+
+            g = jax.grad(one)
+
+            @partial(jax.jit, static_argnums=(1,))
+            def multi(y, n):
+                def body(carry, _):
+                    return g(carry).astype(jnp.bfloat16), ()
+                out, _ = jax.lax.scan(body, y, None, length=n)
+                return out
+
+            def sync(out):
+                return float(jnp.sum(out[0, 0, :4].astype(jnp.float32)))
+
+            ts = {}
+            for k in (args.k_lo, args.k_hi):
+                sync(multi(y0, k))
+                best = []
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    sync(multi(y0, k))
+                    best.append(time.perf_counter() - t0)
+                ts[k] = float(np.median(best))
+            return (ts[args.k_hi] - ts[args.k_lo]) / (
+                args.k_hi - args.k_lo)
+
+        per_shape = []
+        tot_auto = tot_fused = 0.0
+        for hw, c, cnt in INVENTORY:
+            sa = shape_slope(hw, c, fused=False)
+            sf = shape_slope(hw, c, fused=True)
+            tot_auto += sa * cnt
+            tot_fused += sf * cnt
+            row = {"hw": hw, "c": c, "count": cnt,
+                   "autodiff_ms": round(sa * 1e3, 3),
+                   "fused_ms": round(sf * 1e3, 3)}
+            per_shape.append(row)
+            print(json.dumps(row), flush=True)
+        result = {
+            "mode": "per_shape", "batch": B,
+            "max_rel_grad_diff": round(rel, 5),
+            "autodiff_ms_total": round(tot_auto * 1e3, 2),
+            "fused_ms_total": round(tot_fused * 1e3, 2),
+            "speedup": round(tot_auto / max(tot_fused, 1e-9), 3),
+            "scaled_to_b1024_ms": {
+                "autodiff": round(tot_auto * 1e3 * 1024 / B, 1),
+                "fused": round(tot_fused * 1e3 * 1024 / B, 1),
+            },
+            "per_shape": per_shape,
+        }
+        print(json.dumps(result), flush=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(result, f, indent=1)
+        return
 
     s_auto = slope(loss_autodiff, "autodiff_chain")
     s_fused = slope(loss_fused, "fused_epilogue")
