@@ -161,11 +161,17 @@ def main() -> None:
     if args.per_shape:
         def shape_slope(hw, c, fused):
             y0 = jnp.asarray(rng.randn(B, hw, hw, c) * 0.5, jnp.bfloat16)
-            ct = jnp.asarray(rng.randn(B, hw, hw, c), jnp.bfloat16)
-            gm = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
-            bt = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+            ct0 = jnp.asarray(rng.randn(B, hw, hw, c), jnp.bfloat16)
+            gm0 = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+            bt0 = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
 
-            def one(y):
+            # ct/gm/bt must be jit ARGUMENTS: closed over, they are
+            # baked into the serialized compile payload as constants —
+            # a (256,96,96,64) bf16 cotangent is ~288 MB of MLIR, which
+            # this sandbox's remote compile helper rejects (HTTP 413)
+            # or chokes on (Broken pipe) — the root cause of every
+            # failed run of this tool's earlier chained form.
+            def one(y, ct, gm, bt):
                 out = (bna.bn_act(y, gm, bt, 1e-5)[0] if fused
                        else chain(y, gm, bt))
                 return jnp.sum(out.astype(jnp.float32)
@@ -173,10 +179,10 @@ def main() -> None:
 
             g = jax.grad(one)
 
-            @partial(jax.jit, static_argnums=(1,))
-            def multi(y, n):
+            @partial(jax.jit, static_argnums=(4,))
+            def multi(y, ct, gm, bt, n):
                 def body(carry, _):
-                    return g(carry).astype(jnp.bfloat16), ()
+                    return g(carry, ct, gm, bt).astype(jnp.bfloat16), ()
                 out, _ = jax.lax.scan(body, y, None, length=n)
                 return out
 
@@ -185,11 +191,11 @@ def main() -> None:
 
             ts = {}
             for k in (args.k_lo, args.k_hi):
-                sync(multi(y0, k))
+                sync(multi(y0, ct0, gm0, bt0, k))
                 best = []
                 for _ in range(args.iters):
                     t0 = time.perf_counter()
-                    sync(multi(y0, k))
+                    sync(multi(y0, ct0, gm0, bt0, k))
                     best.append(time.perf_counter() - t0)
                 ts[k] = float(np.median(best))
             return (ts[args.k_hi] - ts[args.k_lo]) / (
