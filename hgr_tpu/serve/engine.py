@@ -285,17 +285,20 @@ class MicroBatcher:
         self._q.put(None)  # wake the dispatcher
         self._thread.join(timeout=timeout)
         if self._completer is not None:
+            # hard-stop is the bounded exit in every case: the completer
+            # drains whatever is queued, then exits on its next empty
+            # poll; a dispatcher wedged on a full _inflight fails its
+            # batch and exits. The sentinel is only an optimization for
+            # the clean path (immediate wake) — and must be put_nowait:
+            # a blocking put would wedge stop() itself on a full queue
+            # whose completer is stuck inside materialize (regression
+            # test: test_hard_stop_unwedges_blocked_dispatcher).
+            self._hard_stop.set()
             if not self._thread.is_alive():
-                # dispatcher done: the sentinel is strictly after its
-                # last _inflight.put, so the completer drains everything
-                self._inflight.put(None)
-            else:
-                # dispatcher wedged past the join timeout: do NOT race
-                # its (possible) final put with a sentinel — flip the
-                # hard-stop flag, which both unblocks a dispatcher stuck
-                # on a full _inflight (it fails its batch) and makes the
-                # completer exit once the queue is drained.
-                self._hard_stop.set()
+                try:
+                    self._inflight.put_nowait(None)
+                except queue.Full:
+                    pass  # completer exits via hard-stop after draining
             self._completer.join(timeout=timeout)
             # fail anything still in flight (completer exited/timed out)
             while True:

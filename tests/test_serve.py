@@ -537,3 +537,40 @@ def test_submit_many_after_stop_raises():
     mb.stop()
     with pytest.raises(RuntimeError, match="stopped"):
         mb.submit_many([np.zeros((1,))])
+
+
+def test_hard_stop_unwedges_blocked_dispatcher():
+    """Shutdown race fix (ADVICE r4): a dispatcher blocked on a FULL
+    _inflight queue (completer stuck inside materialize) must not leak
+    when stop() times out on its join — the hard-stop path fails the
+    blocked batch's futures and stop() returns in bounded time."""
+    release = threading.Event()
+    dispatched = threading.Event()
+
+    def dispatch_batch(stacked):
+        dispatched.set()
+        return stacked
+
+    def materialize(handle):
+        release.wait(20.0)  # completer wedges here holding depth=1 slot
+        return [float(x.sum()) for x in handle]
+
+    mb = MicroBatcher(dispatch_batch=dispatch_batch,
+                      materialize=materialize, pipeline_depth=1,
+                      max_batch=2, max_wait_ms=1.0)
+    # batch 1 occupies the single in-flight slot (completer blocks in
+    # materialize); batch 2 dispatches, then its _inflight.put blocks
+    f1 = mb.submit(np.full((2,), 1.0))
+    assert dispatched.wait(5.0)
+    dispatched.clear()
+    f2 = mb.submit(np.full((2,), 2.0))
+    assert dispatched.wait(5.0)  # second dispatch happened -> put blocks
+    t0 = time.monotonic()
+    mb.stop(timeout=0.5)
+    assert time.monotonic() - t0 < 5.0  # bounded, no join-forever
+    # the wedged batch's futures fail rather than hang forever
+    with pytest.raises(RuntimeError, match="stopped"):
+        f2.result(timeout=10.0)
+    release.set()  # let the completer finish; f1 resolves or fails,
+    # but must not hang
+    f1.exception(timeout=10.0)
