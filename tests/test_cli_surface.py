@@ -186,3 +186,23 @@ def test_train_cli_plumbs_every_train_flag():
                  "canvas_size", "grad_accum", "grad_demix"):
         assert re.search(rf"{flag}\s*=", body), (
             f"--{flag} parsed but not passed into TrainConfig")
+
+
+def test_train_cli_grad_demix_choices_match_resolver():
+    """The CLI's --grad_demix choices and the resolver's accepted modes
+    must stay in lockstep (round-5 added 'batched')."""
+    import re
+
+    src = open(os.path.join(REPO, "cli", "train.py")).read()
+    m = re.search(r"--grad_demix'.*?choices=\[(.*?)\]", src, re.S)
+    assert m, "--grad_demix choices not found"
+    cli_choices = set(re.findall(r"'(\w+)'", m.group(1)))
+    assert cli_choices == {"auto", "on", "off", "batched"}
+
+    from hgr_tpu.config import ModelConfig, TrainConfig
+    from hgr_tpu.train.steps import resolve_grad_demix
+
+    for mode in cli_choices:
+        resolved = resolve_grad_demix(TrainConfig(grad_demix=mode),
+                                      ModelConfig())
+        assert resolved in (True, False, "batched"), (mode, resolved)
