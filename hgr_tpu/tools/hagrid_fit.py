@@ -187,7 +187,7 @@ def run_chip(args) -> None:
                 model, jax.random.PRNGKey(0), (1, 192, 192, 3), lr=1e-3,
                 milestones_steps=(10**6,))
             step = make_train_step(AugmentConfig(), grad_accum=accum,
-                                   donate=False)
+                                   donate=args.donate)
             key = jax.random.PRNGKey(1)
             t0 = time.perf_counter()
             state2, m = step(state, batch, key)
@@ -210,6 +210,7 @@ def run_chip(args) -> None:
             # every later ladder rung in the same process).
             entry = {
                 "canvas": cs, "grad_accum": accum, "fits": True,
+                "donate": args.donate,
                 "ballast_gb": round(ballast_gb, 2),
                 "step_ms": round(step_s * 1e3, 1),
                 "crops_per_s": round(B / step_s),
@@ -257,6 +258,11 @@ def main() -> None:
                     help="after a fitting config, allocate 512 MB slabs "
                          "until OOM to measure headroom (destructive: "
                          "leaves the remote client unusable afterwards)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the TrainState like the production "
+                         "epoch loop does (diagnostic for the r5 "
+                         "loop-timing anomaly: non-donated steps keep "
+                         "two full state copies alive per call)")
     args = ap.parse_args()
     if args.mode == "virtual":
         run_virtual(args)
